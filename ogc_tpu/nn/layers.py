@@ -1,0 +1,100 @@
+"""Generic NN building blocks (Flax), channels-last.
+
+Equivalents of the reference's utils/nn_util.py: Conv1d/Conv2d with
+kernel_size 1 are per-point Dense layers; SharedMLP is a stack of
+Dense+Norm+ReLU applied over the trailing channel axis.  GroupNorm follows
+the reference's BN_CONFIG dispatch (utils/nn_util.py:33-42).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# Torch kaiming_normal_ (fan_in, gain sqrt(2), untruncated) — the init used by
+# all reference convs (utils/nn_util.py:90, 101).
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+NormSpec = Optional[Mapping[str, Any]]
+
+
+def make_norm(norm: NormSpec):
+    """Instantiate a norm layer from a reference-style spec dict.
+
+    Reference: get_norm_layer (utils/nn_util.py:33-42).  Supported:
+      None                                    -> identity
+      {"class": "GroupNorm", "num_groups": G} -> GroupNorm over channels
+      {"class": "BatchNorm"}                  -> BatchNorm (batch_stats col.)
+    """
+    if norm is None:
+        return None
+    cls = norm["class"]
+    if cls == "GroupNorm":
+        return nn.GroupNorm(num_groups=norm["num_groups"], epsilon=1e-5)
+    if cls == "BatchNorm":
+        return nn.BatchNorm(
+            use_running_average=norm.get("use_running_average", False),
+            momentum=norm.get("momentum", 0.9),
+            epsilon=1e-5,
+        )
+    raise KeyError(f"Unrecognized norm class: {cls}")
+
+
+class PointwiseConv(nn.Module):
+    """Dense + optional norm + optional activation on the channel axis.
+
+    Equivalent of the reference Conv1d/Conv2d(kernel=1) units
+    (utils/nn_util.py:45-107): bias only when no norm follows.
+    """
+
+    features: int
+    norm: NormSpec = None
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.features,
+            use_bias=self.norm is None,
+            kernel_init=kaiming_normal,
+        )(x)
+        norm_layer = make_norm(self.norm)
+        if norm_layer is not None:
+            x = norm_layer(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class SharedMLP(nn.Module):
+    """Stack of pointwise conv units; every layer has norm + ReLU.
+
+    Reference: SharedMLP (utils/nn_util.py:151-168).
+    :param channels: output dims per layer (reference's mlp[1:] — input dim is
+        inferred).
+    """
+
+    channels: Sequence[int]
+    norm: NormSpec = None
+
+    @nn.compact
+    def __call__(self, x):
+        for c in self.channels:
+            x = PointwiseConv(c, norm=self.norm, act=True)(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Linear -> ReLU -> Linear (the transformer feed-forward / input MLP
+    shape used in utils/transformer_util.py:24-28, 79-83)."""
+
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim)(x)

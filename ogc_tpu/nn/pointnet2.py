@@ -1,0 +1,111 @@
+"""PointNet++ set-abstraction and feature-propagation modules (Flax,
+channels-last).
+
+Equivalents of the reference utils/pointnet2_util.py: SA = FPS -> KNN-group
+(with radius clamp) -> SharedMLP -> maxpool over the neighborhood; FP =
+three_nn inverse-distance interpolation + SharedMLP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ogc_tpu import ops
+from ogc_tpu.nn.layers import NormSpec, SharedMLP
+
+
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction.
+
+    Reference: PointnetSAModuleMSG (utils/pointnet2_util.py:9-73).
+
+    :param npoint: number of FPS centroids (None => group-all).
+    :param radii / nsamples / mlps: one entry per scale; mlps holds OUTPUT
+        channel dims per layer (the reference's mlp[1:] — input inferred).
+    """
+
+    npoint: Optional[int]
+    radii: Sequence[Optional[float]]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    norm: NormSpec = None
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features=None, return_inds=False):
+        """
+        :param xyz: (B, N, 3); :param features: optional (B, N, C).
+        :return: (new_xyz (B, npoint, 3), new_features (B, npoint, sum(out)))
+        """
+        if self.npoint is not None:
+            inds = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather(xyz, inds)
+        else:
+            inds = None
+            new_xyz = None
+
+        outs = []
+        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
+            if self.npoint is not None:
+                grouped, _ = ops.query_and_group(
+                    radius, nsample, xyz, new_xyz, features, use_xyz=self.use_xyz
+                )  # (B, M, S, 3+C)
+            else:
+                grouped, _ = ops.group_all(xyz, features, use_xyz=self.use_xyz)
+            h = SharedMLP(tuple(mlp), norm=self.norm)(grouped)
+            outs.append(jnp.max(h, axis=2))  # maxpool over neighborhood
+        new_features = jnp.concatenate(outs, axis=-1)
+        if return_inds:
+            return new_xyz, new_features, inds
+        return new_xyz, new_features
+
+
+class SAModule(SAModuleMSG):
+    """Single-scale set abstraction (utils/pointnet2_util.py:76-88)."""
+
+    @classmethod
+    def single(cls, npoint, radius, nsample, mlp, norm=None, use_xyz=True,
+               name=None):
+        return cls(
+            npoint=npoint,
+            radii=(radius,),
+            nsamples=(nsample,),
+            mlps=(tuple(mlp),),
+            norm=norm,
+            use_xyz=use_xyz,
+            name=name,
+        )
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance interpolation + SharedMLP.
+
+    Reference: PointnetFPModule (utils/pointnet2_util.py:91-121).
+    """
+
+    mlp: Sequence[int]
+    norm: NormSpec = None
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats):
+        """
+        :param unknown: (B, N, 3); :param known: (B, M, 3) or None.
+        :param unknown_feats: (B, N, C1) or None; :param known_feats: (B, M, C2).
+        :return: (B, N, mlp[-1]).
+        """
+        if known is not None:
+            idx, weight = ops.interpolate_weights(unknown, known)
+            interpolated = ops.three_interpolate(known_feats, idx, weight)
+        else:
+            interpolated = jnp.broadcast_to(
+                known_feats, (known_feats.shape[0], unknown.shape[1], known_feats.shape[-1])
+            )
+
+        if unknown_feats is not None:
+            new_features = jnp.concatenate([interpolated, unknown_feats], axis=-1)
+        else:
+            new_features = interpolated
+        return SharedMLP(tuple(self.mlp), norm=self.norm)(new_features)

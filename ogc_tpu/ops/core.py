@@ -166,7 +166,12 @@ def _knn_chunk(query: Array, points: Array, k: int) -> Tuple[Array, Array]:
     # top_k on negated distances: sorted ascending by distance, ties broken by
     # lower index (lax.top_k is stable), matching the reference's insertion
     # sort (interpolate_gpu.cu:30-46).
-    neg, idx = jax.lax.top_k(-d2, k)
+    M = points.shape[-2]
+    k_eff = min(k, M)
+    neg, idx = jax.lax.top_k(-d2, k_eff)
+    if k_eff < k:  # degenerate k > M: pad with the farthest neighbor
+        neg = jnp.concatenate([neg] + [neg[..., -1:]] * (k - k_eff), axis=-1)
+        idx = jnp.concatenate([idx] + [idx[..., -1:]] * (k - k_eff), axis=-1)
     return -neg, idx.astype(jnp.int32)
 
 

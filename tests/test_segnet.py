@@ -1,0 +1,69 @@
+"""Shape / structure tests for MaskFormer3D, mirroring the reference's
+__main__ smoke checks (models/segnet_sapien.py:85-101)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ogc_tpu.models.segnet import MaskFormer3D
+
+
+@pytest.fixture(scope="module")
+def sapien_model():
+    model = MaskFormer3D(
+        n_slot=8,
+        n_point=512,
+        arch="sapien",
+        n_transformer_layer=2,
+        transformer_embed_dim=128,
+    )
+    pc = jnp.asarray(np.random.RandomState(0).randn(2, 512, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc, pc)
+    return model, params, pc
+
+
+def test_segnet_output_shape(sapien_model):
+    model, params, pc = sapien_model
+    mask = model.apply(params, pc, pc)
+    assert mask.shape == (2, 512, 8)
+
+
+def test_segnet_mask_is_softmax(sapien_model):
+    model, params, pc = sapien_model
+    mask = np.asarray(model.apply(params, pc, pc))
+    np.testing.assert_allclose(mask.sum(-1), 1.0, atol=1e-5)
+    assert (mask >= 0).all()
+
+
+def test_segnet_jits_and_grads(sapien_model):
+    model, params, pc = sapien_model
+
+    @jax.jit
+    def loss_fn(p):
+        return jnp.sum(model.apply(p, pc, pc) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_segnet_kitti_arch():
+    model = MaskFormer3D(
+        n_slot=10, n_point=256, arch="kitti",
+        n_transformer_layer=2, transformer_embed_dim=128,
+    )
+    pc = jnp.asarray(np.random.RandomState(1).randn(1, 256, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), pc, pc)
+    mask = model.apply(params, pc, pc)
+    assert mask.shape == (1, 256, 10)
+
+
+def test_segnet_param_count_sapien(sapien_model):
+    # Reference reports ~: total params for the sapien config
+    # (segnet_sapien.py:96). The flax re-implementation should be in the same
+    # ballpark (attention layout differs slightly in bias structure).
+    model, params, _ = sapien_model
+    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+    assert 7e5 < n < 1.3e6, n
