@@ -61,9 +61,8 @@ def test_segnet_kitti_arch():
 
 
 def test_segnet_param_count_sapien(sapien_model):
-    # Reference reports ~: total params for the sapien config
-    # (segnet_sapien.py:96). The flax re-implementation should be in the same
-    # ballpark (attention layout differs slightly in bias structure).
+    # Analytical parameter count of the reference sapien config
+    # (segnet_sapien.py: SA 287,488 + MF head 382,464 + object_mlp 24,896).
     model, params, _ = sapien_model
-    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
-    assert 7e5 < n < 1.3e6, n
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    assert n == 694848, n
