@@ -1,0 +1,349 @@
+"""Unsupervised OGC segmentation losses (jittable, TPU-native).
+
+Equivalents of the reference losses/seg_loss_unsup.py: rigid dynamic
+consistency via weighted Kabsch, local smoothness (KNN + ball query),
+invariance across augmented views (Hungarian-matched), plus entropy / rank
+monitoring terms.  Everything is a pure function of arrays — no host escapes:
+the Hungarian matching runs in-graph via ogc_tpu.utils.lap, and the rank
+(nuclear norm) term is computed from the K x K Gram spectrum instead of an
+N x K SVD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ogc_tpu import ops
+from ogc_tpu.utils.lap import linear_sum_assignment
+
+Array = jax.Array
+
+
+def fit_motion_svd_batch(
+    pc1: Array, pc2: Array, mask: Optional[Array] = None
+) -> Tuple[Array, Array]:
+    """Weighted Kabsch: per-batch rigid (R, t) aligning pc1 -> pc2.
+
+    :param pc1, pc2: (B, N, 3); :param mask: optional (B, N) weights.
+    :return: R (B, 3, 3), t (B, 3).
+
+    Reference: losses/seg_loss_unsup.py:10-61, including the reflection fix
+    via det sign (:50-53) and the identity fallback for ill-posed batches
+    (:40-42) — realized here with `jnp.where` masking instead of boolean
+    indexing so the whole thing stays jittable.
+    """
+    B, N, _ = pc1.shape
+    if mask is None:
+        w = jnp.ones((B, N), dtype=pc1.dtype)
+    else:
+        w = mask
+    w_sum = jnp.sum(w, axis=1, keepdims=True)  # (B, 1)
+    # Ill-posed batches (zero total weight) are detected up front; their
+    # means are computed with a safe denominator and overwritten at the end.
+    valid = (w_sum[:, 0] > 1e-12)
+
+    safe = jnp.maximum(w_sum, 1e-12)
+    pc1_mean = jnp.einsum("bnd,bn->bd", pc1, w) / safe  # (B, 3)
+    pc2_mean = jnp.einsum("bnd,bn->bd", pc2, w) / safe
+
+    pc1_c = pc1 - pc1_mean[:, None, :]
+    pc2_c = pc2 - pc2_mean[:, None, :]
+
+    # Cross-covariance S = P1^T diag(w) P2 (reference :36).
+    S = jnp.einsum(
+        "bnd,bn,bne->bde", pc1_c, w, pc2_c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    valid = jnp.logical_and(valid, jnp.all(jnp.isfinite(S), axis=(1, 2)))
+    S_safe = jnp.where(valid[:, None, None], S, jnp.eye(3, dtype=S.dtype))
+
+    u, s, vt = jnp.linalg.svd(S_safe, full_matrices=True)
+    v = jnp.swapaxes(vt, -1, -2)
+    R0 = jnp.einsum("bij,bkj->bik", v, u)  # v @ u^T
+    det = jnp.linalg.det(R0)
+    # Reflection fix: flip the last singular direction when det < 0.
+    diag = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
+    )  # (B, 3)
+    R = jnp.einsum("bij,bj,bkj->bik", v, diag, u)
+
+    t = pc2_mean - jnp.einsum("bij,bj->bi", R, pc1_mean)
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    R = jnp.where(valid[:, None, None], R, eye)
+    t = jnp.where(valid[:, None], t, 0.0)
+    return R, t
+
+
+def dynamic_loss(pc: Array, mask: Array, flow: Array, loss_norm: int = 2) -> Array:
+    """Rigid-consistency loss.
+
+    Fit per-object rigid motion from the soft mask, transform the cloud by
+    each object's motion (detached), blend by the mask, and penalize the
+    deviation from pc + flow.  Reference: DynamicLoss
+    (losses/seg_loss_unsup.py:64-98, detach at :91).
+    """
+    B, N, K = mask.shape
+    pc2 = pc + flow
+    mask_f = jnp.swapaxes(mask, 1, 2).reshape(B * K, N)
+    pc_rep = jnp.repeat(pc[:, None], K, axis=1).reshape(B * K, N, 3)
+    pc2_rep = jnp.repeat(pc2[:, None], K, axis=1).reshape(B * K, N, 3)
+
+    R, t = fit_motion_svd_batch(pc_rep, pc2_rep, mask_f)
+    pc_tr = jnp.einsum("bij,bnj->bni", R, pc_rep) + t[:, None, :]
+    pc_tr = jax.lax.stop_gradient(pc_tr.reshape(B, K, N, 3))
+
+    blended = jnp.sum(mask_f.reshape(B, K, N)[..., None] * pc_tr, axis=1)
+    resid = jnp.linalg.norm(blended - pc2, ord=loss_norm, axis=-1)
+    return jnp.mean(resid)
+
+
+def _neighbor_discrepancy(
+    mask: Array, nn_mask: Array, cross_entropy: bool, loss_norm: int
+) -> Array:
+    """Shared tail of the KNN / ball-query smoothness terms.
+
+    :param mask: (B, N, K); :param nn_mask: (B, N, S, K) neighbor masks.
+    """
+    if cross_entropy:
+        target = jax.lax.stop_gradient(
+            jnp.broadcast_to(mask[:, :, None, :], nn_mask.shape)
+        )
+        eps = 1e-7
+        p = jnp.clip(nn_mask, eps, 1.0 - eps)
+        bce = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        loss = jnp.sum(bce, axis=-1).mean(axis=-1)  # sum K, mean S
+    else:
+        diff = mask[:, :, None, :] - nn_mask
+        loss = jnp.linalg.norm(diff, ord=loss_norm, axis=-1).mean(axis=-1)
+    return jnp.mean(loss)
+
+
+def knn_smooth_loss(
+    pc: Array, mask: Array, k: int, radius: float,
+    cross_entropy: bool = False, loss_norm: int = 1,
+) -> Array:
+    """KNN smoothness with radius clamp (reference KnnLoss,
+    losses/seg_loss_unsup.py:101-129)."""
+    dist, idx = ops.knn(k, pc, pc)
+    nearest = idx[..., :1]
+    idx = jnp.where(dist > radius, nearest, idx)
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))  # (B, N, k, K)
+    return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
+
+
+def ball_q_smooth_loss(
+    pc: Array, mask: Array, k: int, radius: float,
+    cross_entropy: bool = False, loss_norm: int = 1,
+) -> Array:
+    """Ball-query smoothness (reference BallQLoss,
+    losses/seg_loss_unsup.py:132-158)."""
+    idx = ops.ball_query(radius, k, pc, pc)
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))
+    return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
+
+
+def interpolate_mask_by_flow(
+    pc1: Array, pc2: Array, mask1: Array, flow1: Array, k: int = 1
+) -> Array:
+    """Warp pc1 by flow1 and carry its mask onto pc2 via (inverse-distance
+    weighted) KNN.  Reference: losses/seg_loss_unsup.py:183-209.  Used by
+    OA-ICP and voting."""
+    warped = pc1 + flow1
+    dist, idx = ops.knn(k, pc2, warped)
+    nn_mask = ops.group(mask1, jax.lax.stop_gradient(idx))  # (B, N, k, K)
+    if k == 1:
+        return nn_mask[:, :, 0, :]
+    dist = jnp.maximum(dist, 1e-10)
+    recip = 1.0 / dist
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return jnp.sum(weight[..., None] * nn_mask, axis=2)
+
+
+def match_mask_by_iou(mask1: Array, mask2: Array) -> Array:
+    """Hungarian-match hard (argmax) object masks by IoU.
+
+    :return: perm (B, K, K) permutation matrices aligning mask2's objects to
+        mask1's.  Reference: losses/seg_loss_unsup.py:212-240 — but the
+        per-batch scipy host call (:234-237) is replaced by the in-graph LAP
+        solver so the training step stays fused.
+    """
+    B, N, K = mask1.shape
+    seg1 = jax.lax.stop_gradient(jnp.argmax(mask1, axis=-1))
+    seg2 = jax.lax.stop_gradient(jnp.argmax(mask2, axis=-1))
+    oh1 = jax.nn.one_hot(seg1, K, dtype=jnp.float32)
+    oh2 = jax.nn.one_hot(seg2, K, dtype=jnp.float32)
+    inter = jnp.einsum(
+        "bng,bnp->bgp", oh1, oh2, precision=jax.lax.Precision.HIGHEST
+    )
+    union = (
+        jnp.sum(oh1, axis=1)[..., None] + jnp.sum(oh2, axis=1)[:, None, :] - inter
+    )
+    iou = inter / jnp.maximum(union, 1e-10)
+    col_ind = linear_sum_assignment(iou, True)  # (B, K), maximize IoU
+    return jax.nn.one_hot(col_ind, K, dtype=jnp.float32)  # (B, K, K)
+
+
+def invariance_loss(
+    mask1: Array, mask2: Array, cross_entropy: bool = False, loss_norm: int = 2
+) -> Array:
+    """Symmetric invariance between two augmented views after Hungarian
+    alignment.  Reference: InvarianceLoss (losses/seg_loss_unsup.py:243-280).
+    """
+
+    def distance(pred, target):
+        if cross_entropy:
+            eps = 1e-7
+            p = jnp.clip(pred, eps, 1.0 - eps)
+            bce = -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p))
+            return jnp.mean(jnp.sum(bce, axis=1))
+        return jnp.mean(jnp.linalg.norm(pred - target, ord=loss_norm, axis=-1))
+
+    perm2 = match_mask_by_iou(mask1, mask2)
+    target1 = jax.lax.stop_gradient(jnp.einsum("bij,bnj->bni", perm2, mask2))
+    perm1 = match_mask_by_iou(mask2, mask1)
+    target2 = jax.lax.stop_gradient(jnp.einsum("bij,bnj->bni", perm1, mask1))
+    return distance(mask1, target1) + distance(mask2, target2)
+
+
+def entropy_loss(mask: Array, epsilon: float = 1e-5) -> Array:
+    """Per-point entropy of the soft mask (monitoring only).
+    Reference: losses/seg_loss_unsup.py:283-297."""
+    return jnp.mean(-jnp.sum(mask * jnp.log(jnp.maximum(mask, epsilon)), axis=-1))
+
+
+def rank_loss(mask: Array) -> Array:
+    """Nuclear norm of the (N, K) mask (monitoring only).
+
+    Reference: losses/seg_loss_unsup.py:300-314 — computed here from the
+    eigenvalues of the K x K Gram matrix (singular values of M are
+    sqrt(eig(M^T M))), avoiding an N x K SVD on device.
+    """
+    gram = jnp.einsum(
+        "bnk,bnl->bkl", mask, mask, precision=jax.lax.Precision.HIGHEST
+    )
+    eig = jnp.linalg.eigvalsh(gram)
+    return jnp.mean(jnp.sum(jnp.sqrt(jnp.maximum(eig, 0.0)), axis=-1))
+
+
+@dataclasses.dataclass(frozen=True)
+class OGCLossConfig:
+    """Weights / scheduling for the combined loss (mirrors the reference
+    YAML `loss:` block, e.g. config/seg/sapien/sapien_unsup.yaml)."""
+
+    weights: Tuple[float, float, float] = (10.0, 0.1, 0.1)  # dynamic/smooth/inv
+    start_steps: Tuple[int, int, int] = (0, 0, 0)
+    dynamic_loss_norm: int = 2
+    smooth_w_knn: float = 3.0
+    smooth_w_ball_q: float = 1.0
+    knn_k: int = 8
+    knn_radius: float = 0.1
+    knn_loss_norm: int = 1
+    ball_q_k: int = 16
+    ball_q_radius: float = 0.2
+    ball_q_loss_norm: int = 1
+    invariance_loss_norm: int = 2
+    cross_entropy: bool = False
+
+    @classmethod
+    def from_dict(cls, loss_cfg: dict) -> "OGCLossConfig":
+        """Build from a reference-style YAML dict (train_seg.py:333-339)."""
+        d = loss_cfg.get("dynamic_loss_params", {})
+        s = loss_cfg.get("smooth_loss_params", {})
+        i = loss_cfg.get("invariance_loss_params", {})
+        kp = s.get("knn_loss_params", {})
+        bp = s.get("ball_q_loss_params", {})
+        return cls(
+            weights=tuple(loss_cfg.get("weights", (10.0, 0.1, 0.1))),
+            start_steps=tuple(loss_cfg.get("start_steps", (0, 0, 0))),
+            dynamic_loss_norm=d.get("loss_norm", 2),
+            smooth_w_knn=s.get("w_knn", 3.0),
+            smooth_w_ball_q=s.get("w_ball_q", 1.0),
+            knn_k=kp.get("k", 8),
+            knn_radius=kp.get("radius", 0.1),
+            knn_loss_norm=kp.get("loss_norm", 1),
+            ball_q_k=bp.get("k", 16),
+            ball_q_radius=bp.get("radius", 0.2),
+            ball_q_loss_norm=bp.get("loss_norm", 1),
+            invariance_loss_norm=i.get("loss_norm", 2),
+        )
+
+
+def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
+    """w_knn * KnnLoss + w_ball_q * BallQLoss (reference SmoothLoss,
+    losses/seg_loss_unsup.py:161-180)."""
+    l_knn = knn_smooth_loss(
+        pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy, cfg.knn_loss_norm
+    )
+    l_bq = ball_q_smooth_loss(
+        pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
+        cfg.ball_q_loss_norm,
+    )
+    return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
+
+
+def ogc_loss(
+    pcs: List[Array],
+    masks: List[Array],
+    flows: List[Array],
+    cfg: OGCLossConfig,
+    step_w: bool = False,
+    it: Array | int = 0,
+    aug_transform: bool = False,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Combined unsupervised OGC loss over 2 (or 4, with augmentation) frames.
+
+    Reference: UnsupervisedOGCLoss (losses/seg_loss_unsup.py:317-409).
+    `it` may be a traced step counter; the start_steps gating uses where().
+    :return: (scalar loss, dict of scalar monitoring values).
+    """
+    assert len(pcs) == len(masks) == len(flows)
+    n_frames = len(pcs)
+
+    def gate(weight: float, start_step: int):
+        if not step_w:
+            return jnp.float32(weight)
+        return jnp.where(jnp.asarray(it) < start_step, 0.0, weight)
+
+    loss_dict: Dict[str, Array] = {}
+
+    l_dyn = sum(
+        dynamic_loss(pcs[f], masks[f], flows[f], cfg.dynamic_loss_norm)
+        for f in range(n_frames)
+    )
+    if aug_transform:
+        l_dyn = 0.5 * l_dyn
+    loss_dict["dynamic"] = l_dyn
+    total = gate(cfg.weights[0], cfg.start_steps[0]) * l_dyn
+
+    l_smooth = sum(smooth_loss(pcs[f], masks[f], cfg) for f in range(n_frames))
+    if aug_transform:
+        l_smooth = 0.5 * l_smooth
+    loss_dict["smooth"] = l_smooth
+    total = total + gate(cfg.weights[1], cfg.start_steps[1]) * l_smooth
+
+    if aug_transform:
+        l_inv = invariance_loss(
+            masks[0], masks[2], cfg.cross_entropy, cfg.invariance_loss_norm
+        ) + invariance_loss(
+            masks[1], masks[3], cfg.cross_entropy, cfg.invariance_loss_norm
+        )
+        loss_dict["invariance"] = l_inv
+        total = total + gate(cfg.weights[2], cfg.start_steps[2]) * l_inv
+    else:
+        loss_dict["invariance"] = jnp.float32(0.0)
+
+    # Monitoring-only terms (not in the gradient).
+    mon_masks = [jax.lax.stop_gradient(m) for m in masks]
+    l_ent = sum(entropy_loss(m) for m in mon_masks)
+    l_rank = sum(rank_loss(m) for m in mon_masks)
+    if aug_transform:
+        l_ent, l_rank = 0.5 * l_ent, 0.5 * l_rank
+    loss_dict["entropy"] = l_ent
+    loss_dict["rank"] = l_rank
+    loss_dict["sum"] = total
+    return total, loss_dict

@@ -1,0 +1,168 @@
+"""Golden / property tests for the unsupervised OGC losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from ogc_tpu.losses import seg_unsup as L
+
+
+def random_rigid(rng):
+    R = Rotation.from_euler("zyx", rng.uniform(-60, 60, 3), degrees=True).as_matrix()
+    t = rng.uniform(-1, 1, 3)
+    return R.astype(np.float32), t.astype(np.float32)
+
+
+def test_kabsch_recovers_rigid_motion():
+    rng = np.random.RandomState(0)
+    pc1 = rng.randn(4, 100, 3).astype(np.float32)
+    Rs, ts = zip(*[random_rigid(rng) for _ in range(4)])
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    pc2 = np.einsum("bij,bnj->bni", Rs, pc1) + ts[:, None, :]
+    R_hat, t_hat = L.fit_motion_svd_batch(jnp.asarray(pc1), jnp.asarray(pc2))
+    np.testing.assert_allclose(np.asarray(R_hat), Rs, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_hat), ts, atol=1e-4)
+
+
+def test_kabsch_weighted():
+    rng = np.random.RandomState(1)
+    pc1 = rng.randn(1, 60, 3).astype(np.float32)
+    R, t = random_rigid(rng)
+    pc2 = pc1.copy()
+    pc2[0, :30] = pc1[0, :30] @ R.T + t  # only first half moves rigidly
+    pc2[0, 30:] += rng.randn(30, 3).astype(np.float32)  # rest is noise
+    w = np.zeros((1, 60), dtype=np.float32)
+    w[0, :30] = 1.0
+    R_hat, t_hat = L.fit_motion_svd_batch(
+        jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(w)
+    )
+    np.testing.assert_allclose(np.asarray(R_hat)[0], R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_hat)[0], t, atol=1e-4)
+
+
+def test_kabsch_zero_mask_identity_fallback():
+    rng = np.random.RandomState(2)
+    pc1 = rng.randn(2, 30, 3).astype(np.float32)
+    pc2 = rng.randn(2, 30, 3).astype(np.float32)
+    w = np.zeros((2, 30), dtype=np.float32)
+    R, t = L.fit_motion_svd_batch(jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(R), np.eye(3)[None].repeat(2, 0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0.0, atol=1e-6)
+
+
+def test_kabsch_reflection_fix_gives_rotation():
+    rng = np.random.RandomState(3)
+    pc1 = rng.randn(8, 50, 3).astype(np.float32)
+    pc2 = rng.randn(8, 50, 3).astype(np.float32)  # unrelated clouds
+    R, _ = L.fit_motion_svd_batch(jnp.asarray(pc1), jnp.asarray(pc2))
+    det = np.linalg.det(np.asarray(R))
+    np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+def test_dynamic_loss_zero_for_rigid_flow():
+    rng = np.random.RandomState(4)
+    pc = rng.randn(2, 80, 3).astype(np.float32)
+    # two objects, each moving rigidly
+    segm = (rng.rand(2, 80) > 0.5).astype(np.int32)
+    mask = np.eye(2, dtype=np.float32)[segm]  # (2, 80, 2) hard mask
+    flow = np.zeros_like(pc)
+    for b in range(2):
+        for k in range(2):
+            R, t = random_rigid(rng)
+            sel = segm[b] == k
+            flow[b, sel] = pc[b, sel] @ R.T + t - pc[b, sel]
+    loss = L.dynamic_loss(jnp.asarray(pc), jnp.asarray(mask), jnp.asarray(flow))
+    assert float(loss) < 1e-3
+
+
+def test_dynamic_loss_positive_for_nonrigid_flow():
+    rng = np.random.RandomState(5)
+    pc = rng.randn(1, 80, 3).astype(np.float32)
+    mask = np.ones((1, 80, 1), dtype=np.float32)
+    flow = rng.randn(1, 80, 3).astype(np.float32)  # random, non-rigid
+    loss = L.dynamic_loss(jnp.asarray(pc), jnp.asarray(mask), jnp.asarray(flow))
+    assert float(loss) > 0.1
+
+
+def test_smooth_loss_zero_for_constant_mask():
+    rng = np.random.RandomState(6)
+    pc = rng.rand(1, 64, 3).astype(np.float32)
+    mask = np.ones((1, 64, 4), dtype=np.float32) * 0.25
+    cfg = L.OGCLossConfig()
+    loss = L.smooth_loss(jnp.asarray(pc), jnp.asarray(mask), cfg)
+    assert float(loss) < 1e-6
+
+
+def test_invariance_loss_zero_for_identical_masks():
+    rng = np.random.RandomState(7)
+    m = jax.nn.softmax(jnp.asarray(rng.randn(2, 50, 6).astype(np.float32)), -1)
+    loss = L.invariance_loss(m, m)
+    assert float(loss) < 1e-5
+
+
+def test_invariance_loss_zero_for_permuted_masks():
+    rng = np.random.RandomState(8)
+    m = jax.nn.softmax(jnp.asarray(5 * rng.randn(1, 50, 4).astype(np.float32)), -1)
+    perm = np.asarray([2, 0, 3, 1])
+    m2 = m[..., perm]
+    loss = L.invariance_loss(m, m2)
+    assert float(loss) < 1e-4
+
+
+def test_entropy_and_rank():
+    onehot = jnp.asarray(np.eye(4, dtype=np.float32)[np.zeros(32, dtype=int)][None])
+    assert float(L.entropy_loss(onehot)) < 1e-3
+    uniform = jnp.full((1, 32, 4), 0.25)
+    np.testing.assert_allclose(float(L.entropy_loss(uniform)), np.log(4), atol=1e-5)
+    # rank of a single-object one-hot mask: nuclear norm = sqrt(N)
+    np.testing.assert_allclose(float(L.rank_loss(onehot)), np.sqrt(32), atol=1e-3)
+
+
+def test_ogc_loss_combination_and_gating():
+    rng = np.random.RandomState(9)
+    pcs = [jnp.asarray(rng.rand(2, 64, 3).astype(np.float32)) for _ in range(2)]
+    masks = [
+        jax.nn.softmax(jnp.asarray(rng.randn(2, 64, 4).astype(np.float32)), -1)
+        for _ in range(2)
+    ]
+    flows = [jnp.asarray(0.1 * rng.randn(2, 64, 3).astype(np.float32)) for _ in range(2)]
+    cfg = L.OGCLossConfig(weights=(10.0, 0.1, 0.1), start_steps=(0, 1000, 0))
+
+    total, d = L.ogc_loss(pcs, masks, flows, cfg, step_w=True, it=0)
+    # smooth gated off before step 1000
+    np.testing.assert_allclose(float(total), 10.0 * float(d["dynamic"]), rtol=1e-5)
+
+    total2, d2 = L.ogc_loss(pcs, masks, flows, cfg, step_w=True, it=2000)
+    np.testing.assert_allclose(
+        float(total2),
+        10.0 * float(d2["dynamic"]) + 0.1 * float(d2["smooth"]),
+        rtol=1e-5,
+    )
+
+
+def test_ogc_loss_grad_flows_to_mask():
+    rng = np.random.RandomState(10)
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    flow = jnp.asarray(0.1 * rng.randn(1, 64, 3).astype(np.float32))
+    logits = jnp.asarray(rng.randn(1, 64, 4).astype(np.float32))
+    cfg = L.OGCLossConfig()
+
+    def f(lg):
+        mask = jax.nn.softmax(lg, -1)
+        total, _ = L.ogc_loss([pc], [mask], [flow], cfg)
+        return total
+
+    g = jax.grad(f)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_interpolate_mask_by_flow_identity():
+    rng = np.random.RandomState(11)
+    pc1 = jnp.asarray(rng.rand(1, 40, 3).astype(np.float32))
+    mask1 = jax.nn.softmax(jnp.asarray(rng.randn(1, 40, 3).astype(np.float32)), -1)
+    # zero flow, pc2 == pc1: mask carries over exactly
+    out = L.interpolate_mask_by_flow(pc1, pc1, mask1, jnp.zeros_like(pc1), k=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(mask1), atol=1e-6)
