@@ -1,0 +1,86 @@
+"""Synthetic dataset builders shared by tests: tiny SAPIEN- and OGC-DR-format
+scenes with exact rigid GT, written in the reference's on-disk layouts."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+def rand_se3(rng, max_deg=30.0, max_shift=0.3):
+    R = Rotation.from_euler(
+        "zyx", rng.uniform(-max_deg, max_deg, 3), degrees=True
+    ).as_matrix()
+    t = rng.uniform(-max_shift, max_shift, 3)
+    M = np.eye(4)
+    M[:3, :3] = R
+    M[:3, 3] = t
+    return M
+
+
+def make_sapien_root(root, n_scenes=4, n_views=4, n_points=128, n_parts=2, seed=0):
+    """Write a tiny MBS-SAPIEN-format dataset: data/%06d.npz + meta.json."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(osp.join(root, "data"), exist_ok=True)
+    ids = list(range(n_scenes))
+    for i in ids:
+        # Canonical (world) points per part.
+        base = rng.rand(n_points, 3).astype(np.float32)
+        segm = rng.randint(1, n_parts + 1, size=n_points)
+        cams = [rand_se3(rng) for _ in range(n_views)]
+        motions = {
+            str(p): [rand_se3(rng) for _ in range(n_views)]
+            for p in range(1, n_parts + 1)
+        }
+        pcs = np.zeros((n_views, n_points, 3), dtype=np.float32)
+        for v in range(n_views):
+            for p in range(1, n_parts + 1):
+                sel = segm == p
+                M = np.linalg.inv(cams[v]) @ motions[str(p)][v]
+                pcs[v, sel] = base[sel] @ M[:3, :3].T + M[:3, 3]
+        trans = {"cam": [cams[v] for v in range(n_views)]}
+        for p in range(1, n_parts + 1):
+            trans[p] = motions[str(p)]
+        np.savez(
+            osp.join(root, "data", "%06d.npz" % i),
+            pc=pcs,
+            segm=np.tile(segm, (n_views, 1)),
+            trans=np.array(trans, dtype=object),
+        )
+    meta = {"train": ids[: max(1, n_scenes - 1)], "val": ids[max(1, n_scenes - 1):],
+            "test": ids}
+    with open(osp.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+def make_ogcdr_root(root, n_scenes=3, n_views=4, n_points=96, n_objects=3, seed=0):
+    """Write a tiny OGC-DR-format dataset: data/<id>/pc_%02d.npy etc."""
+    rng = np.random.RandomState(seed)
+    data_dir = osp.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ids = ["scene%03d" % i for i in range(n_scenes)]
+    for sid in ids:
+        sdir = osp.join(data_dir, sid)
+        os.makedirs(sdir, exist_ok=True)
+        base = rng.rand(n_points, 3).astype(np.float32)
+        # ids: 0 = background (static), 1..n_objects = moving objects
+        segm = rng.randint(0, n_objects + 1, size=n_points)
+        poses0 = np.stack([np.eye(4) for _ in range(n_objects)], 0)
+        for v in range(n_views):
+            poses = np.stack([rand_se3(rng) for _ in range(n_objects)], 0)
+            if v == 0:
+                poses = poses0
+            pc = base.copy()
+            for k in range(n_objects):
+                sel = segm == (k + 1)
+                pc[sel] = base[sel] @ poses[k][:3, :3].T + poses[k][:3, 3]
+            np.save(osp.join(sdir, "pc_%02d.npy" % v), pc.astype(np.float32))
+            np.save(osp.join(sdir, "segm_%02d.npy" % v), segm)
+            np.save(osp.join(sdir, "pose_%02d.npy" % v), poses)
+    for split in ["train", "val", "test"]:
+        with open(osp.join(data_dir, split + ".lst"), "w") as f:
+            f.write("\n".join(ids))
+    return root
