@@ -1,0 +1,58 @@
+"""Device-mesh helpers for data-parallel training.
+
+The reference is single-GPU (SURVEY §2d); here data parallelism over the
+batch axis is first-class: a 1-D `jax.sharding.Mesh` over all local devices,
+batches sharded on axis 0, parameters replicated.  Gradient reduction is the
+mean over the global batch — XLA inserts the psum over ICI automatically when
+the jitted loss averages over a sharded axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard axis 0 of arrays across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Device-put a pytree of host arrays with axis-0 sharding.  Batch dim
+    must be divisible by the mesh size (use pad_batch otherwise)."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch(batch: Any, target_b: int) -> Any:
+    """Pad axis 0 to `target_b` by repeating the last element (shape
+    stability for jit; callers slice host-side results back)."""
+
+    def _pad(x):
+        b = x.shape[0]
+        if b == target_b:
+            return x
+        reps = np.repeat(x[-1:], target_b - b, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return jax.tree_util.tree_map(_pad, batch)

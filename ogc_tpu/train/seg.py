@@ -1,0 +1,246 @@
+"""Unsupervised segmentation trainer.
+
+TPU-native counterpart of the reference train_seg.py Trainer (train_seg.py:
+19-227): one fused, jitted train step (forward over all frames, OGC loss with
+in-graph Hungarian, Adam update with finite-grad guard), data-parallel over a
+device mesh, epoch-level eval + best checkpointing, TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ogc_tpu.losses.seg_unsup import OGCLossConfig, ogc_loss
+from ogc_tpu.metrics.seg import accumulate_eval_results, calculate_PQ_F1
+from ogc_tpu.parallel import mesh as pmesh
+from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.meters import AverageMeter, RunningAverageMeter
+
+
+def make_lr_schedule(lr, lr_decay, lr_clip, decay_step, batch_size):
+    """Exponential staircase decay with floor (reference lr_curve,
+    train_seg.py:230-234)."""
+
+    def schedule(step):
+        exp = jnp.floor(step * batch_size / decay_step)
+        factor = jnp.maximum(lr_decay**exp, lr_clip / lr)
+        return lr * factor
+
+    return schedule
+
+
+def make_optimizer(lr, lr_decay, lr_clip, decay_step, batch_size, weight_decay=0.0):
+    """Adam + staircase LR + L2 weight decay + finite-grad step skip (the
+    reference's try/except + NaN-grad guard, train_seg.py:76-84, realized as
+    optax.apply_if_finite)."""
+    schedule = make_lr_schedule(lr, lr_decay, lr_clip, decay_step, batch_size)
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts += [
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    ]
+    return optax.apply_if_finite(optax.chain(*parts), max_consecutive_errors=10**8)
+
+
+class SegTrainer:
+    def __init__(
+        self,
+        model,
+        params,
+        loss_cfg: OGCLossConfig,
+        optimizer: optax.GradientTransformation,
+        aug_transform_epoch: int,
+        ignore_npoint_thresh: int,
+        exp_base: str,
+        mesh=None,
+        writer=None,
+    ):
+        self.model = model
+        self.loss_cfg = loss_cfg
+        self.optimizer = optimizer
+        self.aug_transform_epoch = aug_transform_epoch
+        self.ignore_npoint_thresh = ignore_npoint_thresh
+        self.exp_base = exp_base
+        os.makedirs(exp_base, exist_ok=True)
+        self.checkpoint_name = osp.join(exp_base, "current")
+        self.best_name = osp.join(exp_base, "best")
+
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(jax.devices()[:1])
+        self.params = pmesh.replicate(self.mesh, params)
+        self.opt_state = pmesh.replicate(self.mesh, optimizer.init(params))
+        self.writer = writer
+        self.cur_epoch = 0
+
+        self._train_step = jax.jit(self._train_step_impl, static_argnames=("aug",))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def _forward_masks(self, params, pcs):
+        B, T, N, _ = pcs.shape
+        flat = pcs.reshape(B * T, N, 3)
+        masks = self.model.apply(params, flat, flat)
+        return masks.reshape(B, T, N, -1)
+
+    def _loss(self, params, pcs, flows, it_samples, step_w, aug):
+        masks = self._forward_masks(params, pcs)
+        T = pcs.shape[1]
+        loss, ld = ogc_loss(
+            [pcs[:, t] for t in range(T)],
+            [masks[:, t] for t in range(T)],
+            [flows[:, t] for t in range(T)],
+            self.loss_cfg,
+            step_w=step_w,
+            it=it_samples,
+            aug_transform=aug,
+        )
+        return loss, (ld, masks)
+
+    def _train_step_impl(self, params, opt_state, pcs, flows, it_samples, aug):
+        (loss, (ld, masks)), grads = jax.value_and_grad(
+            self._loss, has_aux=True
+        )(params, pcs, flows, it_samples, True, aug)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, ld, masks
+
+    def _eval_step_impl(self, params, pcs, flows):
+        loss, (ld, masks) = self._loss(params, pcs, flows, 0, False, False)
+        return loss, ld, masks
+
+    # ------------------------------------------------------------------
+    # Host loop
+    # ------------------------------------------------------------------
+
+    def _shard(self, *arrays):
+        n_dev = len(self.mesh.devices.reshape(-1))
+        if arrays[0].shape[0] % n_dev == 0:
+            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
+        return arrays
+
+    def train_it(self, it: int, batch, aug_transform: bool = False):
+        pcs, segms, flows, _ = batch
+        b = pcs.shape[0]
+        pcs_d, flows_d = self._shard(pcs, flows)
+        self.params, self.opt_state, ld, masks = self._train_step(
+            self.params, self.opt_state, pcs_d, flows_d,
+            jnp.int32(it * b), aug=aug_transform,
+        )
+        ld = {k: float(v) for k, v in ld.items()}
+        segm = segms[:, 0]
+        mask = np.asarray(masks[:, 0])
+        return ld, segm, mask
+
+    def eval_epoch(self, loader) -> Tuple[float, Dict[str, float], Dict[str, list]]:
+        meter = AverageMeter()
+        total_loss, count = 0.0, 1.0
+        ap = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
+        for batch in loader:
+            pcs, segms, flows, _ = batch
+            pcs_d, flows_d = self._shard(pcs, flows)
+            loss, ld, masks = self._eval_step(self.params, pcs_d, flows_d)
+            total_loss += float(loss)
+            count += 1
+            meter.append_loss({k: float(v) for k, v in ld.items()})
+
+            iou, matched, _, n_gt = accumulate_eval_results(
+                segms[:, 0], np.asarray(masks[:, 0]), self.ignore_npoint_thresh
+            )
+            ap["Pred_IoU"].append(iou)
+            ap["Pred_Matched"].append(matched)
+            ap["N_GT_Inst"].append(n_gt)
+        return total_loss / count, meter.get_mean_loss_dict(), ap
+
+    def train(self, n_epochs, train_set, train_loader, test_loader=None,
+              log_every: int = 1, progress: bool = True):
+        it = 0
+        best_loss = 1e10
+        aug_transform = False
+
+        save_checkpoint(
+            self.params, True, filename=self.checkpoint_name, bestname=self.best_name
+        )
+
+        for epoch in range(1, n_epochs + 1):
+            self.cur_epoch = epoch
+            train_meter = AverageMeter()
+            running = RunningAverageMeter(alpha=0.3)
+
+            # Phase in the augmented-view invariance loss
+            # (reference train_seg.py:150-154).
+            if epoch == self.aug_transform_epoch + 1:
+                aug_transform = True
+                train_set.aug_transform = True
+                best_loss = 1e10
+
+            ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
+            for batch in train_loader:
+                ld, segm, mask = self.train_it(it, batch, aug_transform)
+                it += 1
+                running.append_loss(ld)
+                train_meter.append_loss(ld)
+                if self.writer is not None:
+                    for k, v in ld.items():
+                        self.writer.add_scalar("train/" + k, v, global_step=it)
+                iou, matched, _, n_gt = accumulate_eval_results(
+                    segm, mask, self.ignore_npoint_thresh
+                )
+                ap["Pred_IoU"].append(iou)
+                ap["Pred_Matched"].append(matched)
+                ap["N_GT_Inst"].append(n_gt)
+
+            train_avg = train_meter.get_mean_loss_dict()
+            pq, f1, pre, rec = calculate_PQ_F1(
+                np.concatenate(ap["Pred_IoU"]) if ap["Pred_IoU"] else np.zeros(0),
+                np.concatenate(ap["Pred_Matched"]) if ap["Pred_Matched"] else np.zeros(0),
+                int(np.sum(ap["N_GT_Inst"])),
+            )
+            if progress:
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in train_avg.items())
+                print(f"[epoch {epoch:3d}] train: {msg} | PQ@50={pq:.4f} F1@50={f1:.4f}")
+            if self.writer is not None:
+                for k, v in train_avg.items():
+                    self.writer.add_scalar("epoch_sum_train/" + k, v, global_step=epoch)
+                self.writer.add_scalar("epoch_sum_train/PQ@50", pq, global_step=epoch)
+                self.writer.add_scalar("epoch_sum_train/F1@50", f1, global_step=epoch)
+                self.writer.add_scalar("epoch_sum_train/Pre@50", pre, global_step=epoch)
+                self.writer.add_scalar("epoch_sum_train/Rec@50", rec, global_step=epoch)
+
+            if test_loader is not None:
+                val_loss, val_avg, val_ap = self.eval_epoch(test_loader)
+                pq, f1, pre, rec = calculate_PQ_F1(
+                    np.concatenate(val_ap["Pred_IoU"]) if val_ap["Pred_IoU"] else np.zeros(0),
+                    np.concatenate(val_ap["Pred_Matched"]) if val_ap["Pred_Matched"] else np.zeros(0),
+                    int(np.sum(val_ap["N_GT_Inst"])),
+                )
+                if progress:
+                    print(
+                        f"[epoch {epoch:3d}]   val: loss={val_loss:.4f} "
+                        f"PQ@50={pq:.4f} F1@50={f1:.4f} Pre@50={pre:.4f} Rec@50={rec:.4f}"
+                    )
+                if self.writer is not None:
+                    for k, v in val_avg.items():
+                        self.writer.add_scalar("epoch_sum_val/" + k, v, global_step=epoch)
+                    self.writer.add_scalar("epoch_sum_val/PQ@50", pq, global_step=epoch)
+                    self.writer.add_scalar("epoch_sum_val/F1@50", f1, global_step=epoch)
+                    self.writer.add_scalar("epoch_sum_val/Pre@50", pre, global_step=epoch)
+                    self.writer.add_scalar("epoch_sum_val/Rec@50", rec, global_step=epoch)
+
+                is_best = val_loss < best_loss
+                best_loss = min(best_loss, val_loss)
+                save_checkpoint(
+                    self.params, is_best,
+                    filename=self.checkpoint_name, bestname=self.best_name,
+                )
+        return best_loss
