@@ -1,0 +1,386 @@
+"""FlowStep3D: recurrent scene-flow network.
+
+One config-parameterized implementation covering the reference's three
+per-dataset copies (models/flownet_sapien.py, flownet_ogcdr.py,
+flownet_kitti.py).  Pipeline (flownet_kitti.py:209-252):
+
+  local encoders on both clouds -> global encoders -> all-pairs kernelized
+  softmax correlation (learnable epsilon, 10 m support) -> flow0 at 1/4
+  resolution -> upsample; then iters-1 GRU refinement steps: re-encode the
+  warped cloud (reusing frame-1 FPS indices), local FlowEmbedding
+  correlation, GRU update, delta-flow regression with k_decay damping,
+  upsample and accumulate.  Gradients are stopped between iterations
+  (:229-233).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ogc_tpu.nn.flowstep3d import FlowEmbedding, FlowFPModule, FlowSAModule
+
+
+@dataclasses.dataclass(frozen=True)
+class SASpec:
+    npoint_div: int
+    nsample: int
+    mlp: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowNetArch:
+    """Per-dataset hyperparameters (diffs of models/flownet_*.py)."""
+
+    enc_loc: Tuple[SASpec, ...]
+    enc_glob: Tuple[SASpec, ...]
+    # Global corr decoder: alternating FP-upsample and SA stages walking the
+    # glob pyramid back to the 1/4-resolution level.
+    corr_sa: Tuple[SASpec, ...]
+    corr_dim: int  # output channels of the corr feature chain
+    reg_nsample: int
+    reg_mlp: Tuple[int, ...]
+    hidden_dim: int
+    local_corr_mlp: Tuple[int, ...]
+    flow_conv1: SASpec
+    flow_conv2: SASpec
+    h0_mlp1: Tuple[int, ...]
+
+
+ARCHS = {
+    # models/flownet_sapien.py (npoint=512)
+    "sapien": FlowNetArch(
+        enc_loc=(SASpec(2, 16, (32, 32, 32)), SASpec(4, 16, (64, 64, 64))),
+        enc_glob=(SASpec(8, 16, (128, 128, 128)), SASpec(16, 8, (256, 256, 256))),
+        corr_sa=(SASpec(8, 8, (32, 64, 128)),),
+        corr_dim=128,
+        reg_nsample=16,
+        reg_mlp=(128, 128, 128),
+        hidden_dim=128,
+        local_corr_mlp=(128, 128, 128),
+        flow_conv1=SASpec(4, 8, (32, 32, 32)),
+        flow_conv2=SASpec(4, 4, (16, 16, 16)),
+        h0_mlp1=(128, 128, 128),
+    ),
+    # models/flownet_ogcdr.py (npoint=2048)
+    "ogcdr": FlowNetArch(
+        enc_loc=(SASpec(2, 16, (32, 32, 32)), SASpec(4, 16, (64, 64, 64))),
+        enc_glob=(SASpec(8, 16, (128, 128, 128)), SASpec(16, 8, (128, 128, 128))),
+        corr_sa=(SASpec(8, 8, (32, 64, 64)),),
+        corr_dim=64,
+        reg_nsample=16,
+        reg_mlp=(64, 64, 64),
+        hidden_dim=64,
+        local_corr_mlp=(64, 64, 64),
+        flow_conv1=SASpec(4, 8, (32, 32, 32)),
+        flow_conv2=SASpec(4, 4, (16, 16, 16)),
+        h0_mlp1=(64, 64, 64),
+    ),
+    # models/flownet_kitti.py (npoint=8192): 3-level global encoder and a
+    # deeper corr decoder.
+    "kitti": FlowNetArch(
+        enc_loc=(SASpec(2, 32, (32, 32, 32)), SASpec(4, 32, (64, 64, 64))),
+        enc_glob=(
+            SASpec(8, 32, (128, 128, 128)),
+            SASpec(16, 24, (128, 128, 128)),
+            SASpec(32, 16, (256, 256, 256)),
+        ),
+        corr_sa=(SASpec(16, 16, (32, 32, 64)), SASpec(8, 16, (64, 64, 128))),
+        corr_dim=128,
+        reg_nsample=32,
+        reg_mlp=(128, 128, 128),
+        hidden_dim=128,
+        local_corr_mlp=(128, 128, 128),
+        flow_conv1=SASpec(4, 16, (32, 32, 32)),
+        flow_conv2=SASpec(4, 8, (16, 16, 16)),
+        h0_mlp1=(128, 128, 128),
+    ),
+}
+# ogcdrsv shares the ogcdr flownet; waymo uses the kitti flownet.
+ARCHS["ogcdrsv"] = ARCHS["ogcdr"]
+ARCHS["waymo"] = ARCHS["kitti"]
+ARCHS["kittisf"] = ARCHS["kitti"]
+
+# H0Net second stage is a single conv (no act): mlp=[hidden_dim]
+# (flownet_*.py H0Net).
+
+
+class FlowStep3D(nn.Module):
+    npoint: int = 512
+    arch: str = "sapien"
+    use_instance_norm: bool = False
+    loc_flow_nn: int = 8
+    loc_flow_rad: float = 0.1
+    k_decay_fact: float = 1.0
+
+    def _arch(self) -> FlowNetArch:
+        return ARCHS[self.arch] if isinstance(self.arch, str) else self.arch
+
+    def setup(self):
+        a = self._arch()
+        npoint = self.npoint
+        inorm = self.use_instance_norm
+
+        self.encoder_loc = [
+            FlowSAModule(
+                npoint=npoint // s.npoint_div, nsample=s.nsample, mlp=s.mlp,
+                use_instance_norm=inorm, name=f"enc_loc_sa{i+1}",
+            )
+            for i, s in enumerate(a.enc_loc)
+        ]
+        self.encoder_glob = [
+            FlowSAModule(
+                npoint=npoint // s.npoint_div, nsample=s.nsample, mlp=s.mlp,
+                use_instance_norm=inorm, name=f"enc_glob_sa{i+1}",
+            )
+            for i, s in enumerate(a.enc_glob)
+        ]
+        # Global correlation decoder (GlobalCorrLayer).
+        self.epsilon = self.param(
+            "epsilon", nn.initializers.zeros, (1,)
+        )
+        self.corr_fps = [
+            FlowFPModule(name=f"corr_fp{i}") for i in range(len(a.corr_sa) + 1)
+        ]
+        self.corr_sas = [
+            FlowSAModule(
+                npoint=npoint // s.npoint_div, nsample=s.nsample, mlp=s.mlp,
+                use_instance_norm=inorm, name=f"corr_sa{i+1}",
+            )
+            for i, s in enumerate(a.corr_sa)
+        ]
+        # H0Net
+        self.h0_sa1 = FlowSAModule(
+            npoint=npoint // 4, nsample=4, mlp=a.h0_mlp1,
+            use_instance_norm=inorm, name="h0_sa1",
+        )
+        self.h0_sa2 = FlowSAModule(
+            npoint=npoint // 4, nsample=4, mlp=(a.hidden_dim,),
+            use_act=False, use_instance_norm=inorm, name="h0_sa2",
+        )
+        # Flow0 / Flow regressors.
+        self.flow0_sa = FlowSAModule(
+            npoint=npoint // 4, nsample=a.reg_nsample, mlp=a.reg_mlp,
+            use_instance_norm=inorm, name="flow0_sa1",
+        )
+        self.flow0_fc = nn.Dense(3, name="flow0_fc")
+        self.flow_sa1 = FlowSAModule(
+            npoint=npoint // 4, nsample=a.reg_nsample, mlp=a.reg_mlp,
+            use_instance_norm=inorm, name="flow_sa1",
+        )
+        self.flow_sa2 = FlowSAModule(
+            npoint=npoint // 4, nsample=a.reg_nsample, mlp=a.reg_mlp,
+            use_instance_norm=inorm, name="flow_sa2",
+        )
+        self.flow_fc = nn.Dense(3, name="flow_fc")
+        # Local correlation + GRU.
+        self.local_corr_layer = FlowEmbedding(
+            radius=self.loc_flow_rad, nsample=self.loc_flow_nn,
+            mlp=a.local_corr_mlp, use_instance_norm=inorm, name="local_corr",
+        )
+        self.gru_convz = FlowSAModule(
+            npoint=npoint // 4, nsample=4, mlp=(a.hidden_dim,), use_act=False,
+            use_instance_norm=inorm, name="gru_convz",
+        )
+        self.gru_convr = FlowSAModule(
+            npoint=npoint // 4, nsample=4, mlp=(a.hidden_dim,), use_act=False,
+            use_instance_norm=inorm, name="gru_convr",
+        )
+        self.gru_convq = FlowSAModule(
+            npoint=npoint // 4, nsample=4, mlp=(a.hidden_dim,), use_act=False,
+            use_instance_norm=inorm, name="gru_convq",
+        )
+        self.flow_conv1 = FlowSAModule(
+            npoint=npoint // a.flow_conv1.npoint_div,
+            nsample=a.flow_conv1.nsample, mlp=a.flow_conv1.mlp,
+            use_instance_norm=inorm, name="flow_conv1",
+        )
+        self.flow_conv2 = FlowSAModule(
+            npoint=npoint // a.flow_conv2.npoint_div,
+            nsample=a.flow_conv2.nsample, mlp=a.flow_conv2.mlp,
+            use_instance_norm=inorm, name="flow_conv2",
+        )
+        self.flow_up_sample = FlowFPModule(name="flow_up_sample")
+
+    # ------------------------------------------------------------------
+
+    def _encode_loc(self, pc, feature, fps_idx=None, train=True, bnm=0.1):
+        """EncoderLoc (flownet_*.py EncoderLoc.forward): two SA levels with
+        reusable FPS indices; returns ([pc, pc_l1, pc_l2], feats, fps_idxs)."""
+        f1 = fps_idx[0] if fps_idx is not None else None
+        pc_l1, feat_l1, f1 = self.encoder_loc[0](
+            pc, feature, fps_idx=f1, train=train, bn_momentum=bnm
+        )
+        f2 = fps_idx[1] if fps_idx is not None else None
+        pc_l2, feat_l2, f2 = self.encoder_loc[1](
+            pc_l1, feat_l1, fps_idx=f2, train=train, bn_momentum=bnm
+        )
+        return [pc, pc_l1, pc_l2], feat_l2, [f1, f2]
+
+    def _encode_glob(self, pc, feature, train=True, bnm=0.1):
+        pc_l, feats = [pc], feature
+        for sa in self.encoder_glob:
+            new_pc, feats, _ = sa(pc_l[-1], feats, train=train, bn_momentum=bnm)
+            pc_l.append(new_pc)
+        return pc_l, feats
+
+    def _calc_corr_mat(self, pc1, pc2, f1, f2):
+        """Kernelized softmax correlation (flownet_kitti.py:53-65):
+        exp(-(1 - cos(f1, f2)) / eps) masked to a 10 m support."""
+        eps = jnp.exp(self.epsilon) + 0.03
+        d2 = (
+            jnp.sum(pc1**2, -1, keepdims=True)
+            + jnp.swapaxes(jnp.sum(pc2**2, -1, keepdims=True), 1, 2)
+            - 2.0
+            * jnp.einsum(
+                "bnd,bmd->bnm", pc1, pc2, precision=jax.lax.Precision.HIGHEST
+            )
+        )
+        support = (d2 < 10.0**2).astype(f1.dtype)
+        f1 = f1 * jax.lax.rsqrt(jnp.sum(f1**2, -1, keepdims=True) + 1e-8)
+        f2 = f2 * jax.lax.rsqrt(jnp.sum(f2**2, -1, keepdims=True) + 1e-8)
+        C = 1.0 - jnp.einsum(
+            "bnd,bmd->bnm", f1, f2, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.exp(-C / eps) * support
+
+    def _global_corr(self, pc1_l_glob, pc2_l_glob, f1g, f2g, train, bnm):
+        """GlobalCorrLayer.forward: soft-argmax flow at the coarsest level,
+        then FP/SA chain back to the 1/4-resolution level."""
+        p1, p2 = pc1_l_glob[-1], pc2_l_glob[-1]
+        corr = self._calc_corr_mat(p1, p2, f1g, f2g)
+        row_sum = jnp.sum(corr, -1, keepdims=True)
+        flow0 = (
+            jnp.einsum(
+                "bnm,bmd->bnd", corr, p2, precision=jax.lax.Precision.HIGHEST
+            )
+            / (row_sum + 1e-8)
+            - p1
+        )
+
+        # Walk back up: fp0 -> sa1 [-> fp1 -> sa2 ...] -> final fp.
+        feats = flow0
+        level = len(pc1_l_glob) - 1
+        for i, sa in enumerate(self.corr_sas):
+            feats = self.corr_fps[i](
+                pc1_l_glob[level - 1], pc1_l_glob[level], None, feats,
+                train=train, bn_momentum=bnm,
+            )
+            _, feats, _ = sa(
+                pc1_l_glob[level - 1], feats, train=train, bn_momentum=bnm
+            )
+            level -= 1
+        feats = self.corr_fps[-1](
+            pc1_l_glob[level - 1], pc1_l_glob[level], None, feats,
+            train=train, bn_momentum=bnm,
+        )
+        return feats
+
+    def _gru(self, h, x, pc, train, bnm):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(
+            self.gru_convz(pc, hx, train=train, bn_momentum=bnm)[1]
+        )
+        r = jax.nn.sigmoid(
+            self.gru_convr(pc, hx, train=train, bn_momentum=bnm)[1]
+        )
+        q = jnp.tanh(
+            self.gru_convq(
+                pc, jnp.concatenate([r * h, x], axis=-1),
+                train=train, bn_momentum=bnm,
+            )[1]
+        )
+        return (1 - z) * h + z * q
+
+    def __call__(self, pc1, pc2, feature1, feature2, iters: int = 1,
+                 train: bool = True, bn_momentum=0.1) -> List[jax.Array]:
+        """
+        :param pc1, pc2: (B, N, 3); :param feature1, feature2: (B, N, 3).
+        :return: list of per-iteration flow predictions [(B, N, 3)].
+        """
+        bnm = bn_momentum
+        flow_predictions = []
+
+        pc1_l_loc, feats1_loc, fps_idx1 = self._encode_loc(
+            pc1, feature1, train=train, bnm=bnm
+        )
+        pc2_l_loc, feats2_loc, _ = self._encode_loc(
+            pc2, feature2, train=train, bnm=bnm
+        )
+
+        pc1_l_glob, f1g = self._encode_glob(
+            pc1_l_loc[-1], feats1_loc, train=train, bnm=bnm
+        )
+        pc2_l_glob, f2g = self._encode_glob(
+            pc2_l_loc[-1], feats2_loc, train=train, bnm=bnm
+        )
+        corr_feats = self._global_corr(
+            pc1_l_glob, pc2_l_glob, f1g, f2g, train, bnm
+        )
+
+        _, x0, _ = self.flow0_sa(
+            pc1_l_loc[2], corr_feats, train=train, bn_momentum=bnm
+        )
+        flow0_lr = self.flow0_fc(x0)
+
+        flow0 = self.flow_up_sample(
+            pc1_l_loc[0], pc1_l_loc[2], None, flow0_lr, train=train,
+            bn_momentum=bnm,
+        )
+        flow_predictions.append(flow0)
+
+        _, h, _ = self.h0_sa1(
+            pc1_l_loc[-1], feats1_loc, train=train, bn_momentum=bnm
+        )
+        _, h, _ = self.h0_sa2(pc1_l_loc[-1], h, train=train, bn_momentum=bnm)
+        h = jnp.tanh(h)
+
+        sg = jax.lax.stop_gradient
+        pc1_new = pc1 + sg(flow0)
+        pc1_new_lr = pc1_l_loc[2] + sg(flow0_lr)
+        for it in range(iters - 1):
+            pc1_new = sg(pc1_new)
+            pc1_new_lr = sg(pc1_new_lr)
+            flow_lr = pc1_new_lr - pc1_l_loc[2]
+
+            pc1_new_l_loc, feats1_loc_new, _ = self._encode_loc(
+                pc1_new, pc1_new, fps_idx1, train=train, bnm=bnm
+            )
+            _, corr_feats = self.local_corr_layer(
+                pc1_new_l_loc[-1], pc2_l_loc[-1], feats1_loc_new, feats2_loc,
+                train=train, bn_momentum=bnm,
+            )
+
+            # x = [feats1_new, corr, flow_feats, flow]
+            _, flow_feats, _ = self.flow_conv1(
+                pc1_l_loc[2], flow_lr, train=train, bn_momentum=bnm
+            )
+            _, flow_feats, _ = self.flow_conv2(
+                pc1_l_loc[2], flow_feats, train=train, bn_momentum=bnm
+            )
+            x = jnp.concatenate(
+                [feats1_loc_new, corr_feats, flow_feats, flow_lr], axis=-1
+            )
+            h = self._gru(h, x, pc1_l_loc[-1], train, bnm)
+
+            _, dx, _ = self.flow_sa1(
+                pc1_l_loc[2], h, train=train, bn_momentum=bnm
+            )
+            _, dx, _ = self.flow_sa2(
+                pc1_l_loc[2], dx, train=train, bn_momentum=bnm
+            )
+            delta_flow_lr = self.flow_fc(dx) / (self.k_decay_fact * it + 1)
+            pc1_new_lr = pc1_new_lr + delta_flow_lr
+
+            delta_flow = self.flow_up_sample(
+                pc1_l_loc[0], pc1_l_loc[2], None, delta_flow_lr,
+                train=train, bn_momentum=bnm,
+            )
+            pc1_new = pc1_new + delta_flow
+            flow_predictions.append(pc1_new - pc1)
+
+        return flow_predictions

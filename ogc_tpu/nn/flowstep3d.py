@@ -1,0 +1,215 @@
+"""FlowStep3D building blocks (Flax, channels-last).
+
+Equivalents of the reference utils/flowstep3d_util.py: KNN-grouped set
+abstraction with BatchNorm/InstanceNorm, cross-cloud FlowEmbedding
+correlation, and MLP-free feature propagation.  BatchNorm momentum is a call
+argument so the reference's BNMomentumScheduler (utils/pytorch_util.py:
+112-137) can be applied inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ogc_tpu import ops
+
+
+class SchedulableBatchNorm(nn.Module):
+    """BatchNorm over all axes but the last, with momentum as a call arg.
+
+    Torch semantics: running <- (1 - m) * running + m * batch
+    (torch momentum m, the value the reference's scheduler sets).
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False, momentum=0.1):
+        features = x.shape[-1]
+        axes = tuple(range(x.ndim - 1))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,))
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, x.dtype)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                # torch updates running_var with the unbiased batch variance.
+                n = x.size // features
+                unbiased = var * n / max(n - 1, 1)
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d(affine=True): per-sample, per-channel stats over the
+    spatial axes (all but first and last)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class _NormedConvStack(nn.Module):
+    """Conv(1x1, no bias) + norm + act per layer — the mlp stack shared by
+    the flow modules (flowstep3d_util.py:19-25, 84-91)."""
+
+    mlp: Sequence[int]
+    use_instance_norm: bool = False
+    use_act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, bn_momentum=0.1):
+        for c in self.mlp:
+            x = nn.Dense(c, use_bias=False)(x)
+            if self.use_act:
+                if self.use_instance_norm:
+                    x = InstanceNorm()(x)
+                else:
+                    x = SchedulableBatchNorm()(
+                        x, use_running_average=not train, momentum=bn_momentum
+                    )
+                x = nn.relu(x)
+        return x
+
+
+class FlowSAModule(nn.Module):
+    """FlowStep3D-flavor set abstraction: FPS (optional, reusable indices) +
+    KNN grouping + conv stack + max/mean pool.
+
+    Reference: PointNetSetAbstraction (utils/flowstep3d_util.py:69-138).
+    With radius=None the grouping is pure KNN (QueryAndGroup without clamp).
+    `use_act=False` means conv only — no norm, no activation (:123-128).
+    """
+
+    npoint: Optional[int]
+    nsample: int
+    mlp: Sequence[int]
+    radius: Optional[float] = None
+    use_xyz: bool = True
+    use_act: bool = True
+    mean_aggr: bool = False
+    use_instance_norm: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, features, fps_idx=None, train: bool = True,
+                 bn_momentum=0.1):
+        """
+        :param xyz: (B, N, 3); :param features: (B, N, C) or None.
+        :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx).
+        """
+        if self.npoint is not None and self.npoint != -1:
+            if fps_idx is None:
+                fps_idx = ops.furthest_point_sample(xyz, self.npoint)
+            new_xyz = ops.gather(xyz, fps_idx)
+        else:
+            new_xyz = xyz
+        grouped, _ = ops.query_and_group(
+            self.radius, self.nsample, xyz, new_xyz, features,
+            use_xyz=self.use_xyz,
+        )  # (B, M, S, 3[+C])
+        h = _NormedConvStack(
+            tuple(self.mlp), self.use_instance_norm, self.use_act
+        )(grouped, train=train, bn_momentum=bn_momentum)
+        if self.mean_aggr:
+            out = jnp.mean(h, axis=2)
+        else:
+            out = jnp.max(h, axis=2)
+        return new_xyz, out, fps_idx
+
+
+class FlowFPModule(nn.Module):
+    """3-NN inverse-distance upsampling, optional conv1d+BN mlp.
+
+    Reference: PointNetFeaturePropogation (utils/flowstep3d_util.py:141-184);
+    clamps distances below 1e-10 (:169) rather than adding an epsilon.
+    """
+
+    mlp: Sequence[int] = ()
+    use_instance_norm: bool = False
+
+    @nn.compact
+    def __call__(self, pos1, pos2, feature1, feature2, train: bool = True,
+                 bn_momentum=0.1):
+        """
+        :param pos1: (B, N, 3) targets; :param pos2: (B, S, 3) sources.
+        :param feature1: (B, N, C1) or None; :param feature2: (B, S, C2).
+        :return: (B, N, C').
+        """
+        dist, idx = ops.three_nn(pos1, pos2)
+        dist = jnp.maximum(dist, 1e-10)
+        w = 1.0 / dist
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        interpolated = ops.three_interpolate(feature2, idx, w)
+        if feature1 is not None:
+            out = jnp.concatenate([interpolated, feature1], axis=-1)
+        else:
+            out = interpolated
+        if self.mlp:
+            out = _NormedConvStack(tuple(self.mlp), self.use_instance_norm)(
+                out, train=train, bn_momentum=bn_momentum
+            )
+        return out
+
+
+class FlowEmbedding(nn.Module):
+    """Cross-cloud correlation: for each point of cloud 1, group `nsample`
+    KNN neighbors in cloud 2 (radius-clamped), concat
+    [pos_diff, feat2_grouped, feat1] and run the conv stack + maxpool.
+
+    Reference: FlowEmbedding (utils/flowstep3d_util.py:7-66), corr_func
+    'concat'.
+    """
+
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    use_instance_norm: bool = False
+
+    @nn.compact
+    def __call__(self, pos1, pos2, feature1, feature2, train: bool = True,
+                 bn_momentum=0.1):
+        """
+        :param pos1/pos2: (B, N, 3); :param feature1/feature2: (B, N, C).
+        :return: (pos1, feat_new (B, N, mlp[-1])).
+        """
+        dist, idx = ops.knn(self.nsample, pos1, pos2)
+        nearest = idx[..., :1]
+        idx = jnp.where(dist > self.radius, nearest, idx)
+
+        pos2_grouped = ops.group(pos2, idx)  # (B, N, S, 3)
+        pos_diff = pos2_grouped - pos1[:, :, None, :]
+        feat2_grouped = ops.group(feature2, idx)  # (B, N, S, C)
+        feat1_rep = jnp.broadcast_to(
+            feature1[:, :, None, :],
+            feat2_grouped.shape[:3] + (feature1.shape[-1],),
+        )
+        x = jnp.concatenate([pos_diff, feat2_grouped, feat1_rep], axis=-1)
+        x = _NormedConvStack(tuple(self.mlp), self.use_instance_norm)(
+            x, train=train, bn_momentum=bn_momentum
+        )
+        return pos1, jnp.max(x, axis=2)

@@ -1,0 +1,93 @@
+"""CLI smoke tests: train_seg.py then test_seg.py on a synthetic SAPIEN set,
+run as real subprocesses with the reference-compatible YAML interface."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.synth import make_sapien_root
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_env():
+    env = dict(os.environ)
+    env["OGC_PLATFORM"] = "cpu"
+    return env
+
+
+@pytest.fixture(scope="module")
+def sapien_cfg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    root = str(tmp / "MBS_SAPIEN")
+    # train_seg uses <root>/mbs-shapepart; test_seg --split test uses
+    # <root>/mbs-sapien (reference train_seg.py:297, test_seg.py:37-40).
+    make_sapien_root(osp.join(root, "mbs-shapepart"), n_scenes=3, n_points=64)
+    make_sapien_root(osp.join(root, "mbs-sapien"), n_scenes=2, n_points=64)
+    cfg = {
+        "dataset": "sapien",
+        "save_path": str(tmp / "ckpt" / "sapien_unsup"),
+        "random_seed": 10,
+        "data": {"root": root, "decentralize": False, "aug_transform_args": None},
+        "predflow_path": None,
+        "aug_transform_epoch": 9999,
+        "ignore_npoint_thresh": 0,
+        "epochs": 1,
+        "batch_size": 2,
+        "lr": 1.0e-3,
+        "lr_decay": 0.7,
+        "lr_clip": 1.0e-5,
+        "decay_step": 200000,
+        "weight_decay": 0.0,
+        "segnet": {
+            "n_slot": 4,
+            "n_point": 64,
+            "use_xyz": True,
+            "n_transformer_layer": 1,
+            "transformer_embed_dim": 64,
+            "transformer_input_pos_enc": False,
+        },
+        "loss": {
+            "weights": [10.0, 0.1, 0.0],
+            "start_steps": [0, 0, 0],
+            "dynamic_loss_params": {"loss_norm": 2},
+            "smooth_loss_params": {
+                "w_knn": 3.0,
+                "w_ball_q": 1.0,
+                "knn_loss_params": {"k": 4, "radius": 0.1, "loss_norm": 1},
+                "ball_q_loss_params": {"k": 8, "radius": 0.2, "loss_norm": 1},
+            },
+            "invariance_loss_params": {"loss_norm": 2},
+        },
+    }
+    cfg_path = str(tmp / "sapien_unsup.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    return cfg_path, cfg
+
+
+def test_train_then_test_cli(sapien_cfg, cli_env):
+    cfg_path, cfg = sapien_cfg
+    r = subprocess.run(
+        [sys.executable, "train_seg.py", cfg_path, "--round", "1"],
+        cwd=REPO, env=cli_env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert osp.exists(cfg["save_path"] + "_R1/best.ckpt")
+
+    r = subprocess.run(
+        [
+            sys.executable, "test_seg.py", cfg_path,
+            "--split", "test", "--round", "1", "--test_batch_size", "4",
+        ],
+        cwd=REPO, env=cli_env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "AveragePrecision@50" in r.stdout
+    assert "PanopticQuality@50" in r.stdout

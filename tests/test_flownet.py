@@ -1,0 +1,84 @@
+"""FlowStep3D model + flow loss tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ogc_tpu.models.flownet import FlowStep3D
+from ogc_tpu.losses.flow_unsup import (
+    FlowLossConfig,
+    chamfer_loss,
+    flowstep3d_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_flownet():
+    model = FlowStep3D(npoint=64, arch="sapien")
+    rng = np.random.RandomState(0)
+    pc1 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    pc2 = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pc1, pc2, pc1, pc2, 2)
+    return model, variables, pc1, pc2
+
+
+def test_flownet_output_shapes(tiny_flownet):
+    model, variables, pc1, pc2 = tiny_flownet
+    flows, _ = model.apply(
+        variables, pc1, pc2, pc1, pc2, 3, mutable=["batch_stats"]
+    )
+    assert len(flows) == 3
+    for f in flows:
+        assert f.shape == (2, 64, 3)
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_flownet_eval_mode_no_stats_update(tiny_flownet):
+    model, variables, pc1, pc2 = tiny_flownet
+    flows = model.apply(variables, pc1, pc2, pc1, pc2, 2, train=False)
+    assert len(flows) == 2
+
+
+def test_flownet_has_batch_stats(tiny_flownet):
+    _, variables, _, _ = tiny_flownet
+    assert "batch_stats" in variables
+
+
+def test_flownet_grads_finite(tiny_flownet):
+    model, variables, pc1, pc2 = tiny_flownet
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    cfg = FlowLossConfig(iters_w=(0.5, 0.3))
+
+    def loss_fn(p):
+        flows, _ = model.apply(
+            {"params": p, "batch_stats": stats},
+            pc1, pc2, pc1, pc2, 2, mutable=["batch_stats"],
+        )
+        loss, _ = flowstep3d_loss(pc1, pc2, flows, cfg)
+        return loss
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_flownet_kitti_arch_builds():
+    model = FlowStep3D(npoint=128, arch="kitti")
+    rng = np.random.RandomState(1)
+    pc = jnp.asarray(rng.rand(1, 128, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pc, pc, pc, pc, 2)
+    flows, _ = model.apply(variables, pc, pc, pc, pc, 2, mutable=["batch_stats"])
+    assert flows[-1].shape == (1, 128, 3)
+
+
+def test_chamfer_zero_for_perfect_flow():
+    rng = np.random.RandomState(2)
+    pc1 = jnp.asarray(rng.rand(1, 50, 3).astype(np.float32))
+    shift = jnp.asarray(np.array([0.5, 0, 0], np.float32))
+    pc2 = pc1 + shift
+    flow = jnp.broadcast_to(shift, pc1.shape)
+    assert float(chamfer_loss(pc1, pc2, flow)) < 1e-6
+    assert float(chamfer_loss(pc1, pc2, jnp.zeros_like(flow))) > 0.1

@@ -81,6 +81,9 @@ def build_model_and_datasets(args, predflow_path):
 
 
 def main():
+    from ogc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str, help="Config file")
     parser.add_argument("--round", type=int, default=0,
