@@ -1,0 +1,193 @@
+"""Self-supervised scene-flow trainer.
+
+TPU-native counterpart of the reference train_flow.py Trainer
+(train_flow.py:33-189): fused jitted step over the full recurrent unroll,
+BatchNorm running stats as jit-carried state with scheduled momentum, per-
+iteration EPE monitoring, best-checkpoint selection on val loss.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ogc_tpu.losses.flow_unsup import FlowLossConfig, flowstep3d_loss
+from ogc_tpu.parallel import mesh as pmesh
+from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.meters import AverageMeter, RunningAverageMeter
+
+
+def make_bn_schedule(bn_momentum, bn_decay, decay_step, batch_size):
+    """Reference bn_curve (train_flow.py:199-207): torch momentum decayed by
+    bn_decay every decay_step samples, floored at 1e-2."""
+
+    def schedule(it):
+        if decay_step == -1:
+            return bn_momentum
+        exp = np.floor(it * batch_size / decay_step)
+        return max(bn_momentum * (bn_decay**exp), 1e-2)
+
+    return schedule
+
+
+class FlowTrainer:
+    def __init__(
+        self,
+        model,
+        variables,
+        model_iters: int,
+        loss_cfg: FlowLossConfig,
+        optimizer: optax.GradientTransformation,
+        exp_base: str,
+        bn_schedule=None,
+        mesh=None,
+        writer=None,
+    ):
+        self.model = model
+        self.model_iters = model_iters
+        self.loss_cfg = loss_cfg
+        self.optimizer = optimizer
+        self.bn_schedule = bn_schedule or (lambda it: 0.9)
+        self.exp_base = exp_base
+        os.makedirs(exp_base, exist_ok=True)
+        self.checkpoint_name = osp.join(exp_base, "current")
+        self.best_name = osp.join(exp_base, "best")
+        self.writer = writer
+
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(jax.devices()[:1])
+        self.params = pmesh.replicate(self.mesh, variables["params"])
+        self.batch_stats = pmesh.replicate(self.mesh, variables["batch_stats"])
+        self.opt_state = pmesh.replicate(
+            self.mesh, optimizer.init(variables["params"])
+        )
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    # ------------------------------------------------------------------
+
+    def _train_step_impl(self, params, batch_stats, opt_state, pc1, pc2,
+                         gt_flow, bnm):
+        def loss_fn(p):
+            flow_preds, new_vars = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                pc1, pc2, pc1, pc2, self.model_iters,
+                train=True, bn_momentum=bnm, mutable=["batch_stats"],
+            )
+            loss, ld = flowstep3d_loss(pc1, pc2, flow_preds, self.loss_cfg)
+            return loss, (ld, flow_preds, new_vars["batch_stats"])
+
+        (loss, (ld, flow_preds, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # EPE monitoring per iteration (reference epe_metric,
+        # train_flow.py:18-30).
+        for i, fp in enumerate(flow_preds):
+            ld[f"epe3d_#{i}"] = jnp.mean(
+                jnp.linalg.norm(fp - gt_flow, axis=-1)
+            )
+        return params, new_stats, opt_state, ld
+
+    def _eval_step_impl(self, params, batch_stats, pc1, pc2, gt_flow):
+        flow_preds = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pc1, pc2, pc1, pc2, self.model_iters, train=False,
+        )
+        loss, ld = flowstep3d_loss(pc1, pc2, flow_preds, self.loss_cfg)
+        for i, fp in enumerate(flow_preds):
+            ld[f"epe3d_#{i}"] = jnp.mean(jnp.linalg.norm(fp - gt_flow, axis=-1))
+        return loss, ld
+
+    # ------------------------------------------------------------------
+
+    def _shard(self, *arrays):
+        n_dev = len(self.mesh.devices.reshape(-1))
+        if arrays[0].shape[0] % n_dev == 0:
+            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
+        return arrays
+
+    def train_it(self, it: int, batch) -> Dict[str, float]:
+        pcs, _, flows, _ = batch
+        pc1, pc2 = pcs[:, 0], pcs[:, 1]
+        gt_flow = flows[:, 0]
+        pc1, pc2, gt_flow = self._shard(pc1, pc2, gt_flow)
+        bnm = jnp.float32(self.bn_schedule(it))
+        self.params, self.batch_stats, self.opt_state, ld = self._train_step(
+            self.params, self.batch_stats, self.opt_state, pc1, pc2, gt_flow, bnm
+        )
+        return {k: float(v) for k, v in ld.items()}
+
+    def eval_epoch(self, loader) -> Tuple[float, Dict[str, float]]:
+        meter = AverageMeter()
+        total_loss, count = 0.0, 1.0
+        for batch in loader:
+            pcs, _, flows, _ = batch
+            pc1, pc2 = pcs[:, 0], pcs[:, 1]
+            gt_flow = flows[:, 0]
+            pc1, pc2, gt_flow = self._shard(pc1, pc2, gt_flow)
+            loss, ld = self._eval_step(
+                self.params, self.batch_stats, pc1, pc2, gt_flow
+            )
+            total_loss += float(loss)
+            count += 1
+            meter.append_loss({k: float(v) for k, v in ld.items()})
+        return total_loss / count, meter.get_mean_loss_dict()
+
+    def train(self, n_epochs, train_loader, val_loader=None, progress=True):
+        it = 0
+        best_loss = 1e10
+        save_checkpoint(
+            self.variables, True,
+            filename=self.checkpoint_name, bestname=self.best_name,
+        )
+        for epoch in range(1, n_epochs + 1):
+            train_meter = AverageMeter()
+            running = RunningAverageMeter(alpha=0.3)
+            for batch in train_loader:
+                ld = self.train_it(it, batch)
+                it += 1
+                running.append_loss(ld)
+                train_meter.append_loss(ld)
+                if self.writer is not None:
+                    for k, v in ld.items():
+                        self.writer.add_scalar("train/" + k, v, global_step=it)
+
+            train_avg = train_meter.get_mean_loss_dict()
+            if progress:
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in train_avg.items())
+                print(f"[epoch {epoch:3d}] train: {msg}")
+            if self.writer is not None:
+                for k, v in train_avg.items():
+                    self.writer.add_scalar(
+                        "epoch_sum_train/" + k, v, global_step=epoch
+                    )
+
+            if val_loader is not None:
+                val_loss, val_avg = self.eval_epoch(val_loader)
+                if progress:
+                    msg = ", ".join(f"{k}={v:.4f}" for k, v in val_avg.items())
+                    print(f"[epoch {epoch:3d}]   val: loss={val_loss:.4f} {msg}")
+                if self.writer is not None:
+                    for k, v in val_avg.items():
+                        self.writer.add_scalar(
+                            "epoch_sum_val/" + k, v, global_step=epoch
+                        )
+                is_best = val_loss < best_loss
+                best_loss = min(best_loss, val_loss)
+                save_checkpoint(
+                    self.variables, is_best,
+                    filename=self.checkpoint_name, bestname=self.best_name,
+                )
+        return best_loss
