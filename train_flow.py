@@ -86,12 +86,9 @@ def main():
         args.bn_momentum, args.bn_decay, args.decay_step, args.batch_size
     )
 
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    from ogc_tpu.utils.logging import make_writer
 
-        writer = SummaryWriter(osp.join(args.save_path, "log"))
-    except Exception:
-        writer = None
+    writer = make_writer(osp.join(args.save_path, "log"))
 
     trainer = FlowTrainer(
         model=flownet,

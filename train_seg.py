@@ -122,11 +122,9 @@ def main():
 
     mesh = pmesh.make_mesh()
     exp_base = args.save_path + "_R%d" % args.round
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        writer = SummaryWriter(osp.join(exp_base, "log"))
-    except Exception:
-        writer = None
+    from ogc_tpu.utils.logging import make_writer
+
+    writer = make_writer(osp.join(exp_base, "log"))
 
     trainer = SegTrainer(
         model=model,
