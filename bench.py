@@ -3,10 +3,17 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Protocol (BASELINE.md north star): KITTI-config MaskFormer3D forward +
-FlowStep3D forward on 8192-point scenes, batched, bf16-friendly XLA, one
-chip.  vs_baseline is measured against an estimated A100 throughput of the
-reference PyTorch+CUDA stack (see REFERENCE_A100_SCENES_PER_SEC below); the
-driver's target is >= 5x.
+FlowStep3D forward (5 refinement iterations, the eval setting) on
+8192-point scenes, one chip.
+
+Timing methodology: the jitted function reduces its output to a scalar and
+every iteration synchronizes via a host read — `block_until_ready` is NOT a
+reliable barrier through this environment's TPU relay, so wall time is
+measured against forced host transfers of scalars (negligible payload).
+
+vs_baseline compares against an estimated A100 throughput of the reference
+PyTorch+CUDA stack (REFERENCE_A100_SCENES_PER_SEC); the driver's target is
+>= 5x.
 """
 
 import json
@@ -17,32 +24,58 @@ import numpy as np
 # Estimated scenes/sec of the reference stack (segnet fwd + flownet fwd at
 # 8192 pts) on one A100.  The reference repo ships no throughput numbers
 # (BASELINE.md); this figure is a conservative estimate from the op mix
-# (FPS + brute-force KNN + SA/FP stacks + 4-iter GRU flow refinement) and is
-# the denominator the driver tracks round over round.
+# (FPS + brute-force KNN + SA/FP stacks + 4-iter GRU flow refinement).
 REFERENCE_A100_SCENES_PER_SEC = 40.0
 
 N_POINTS = 8192
 BATCH = 8
-WARMUP = 3
-ITERS = 10
+WARMUP = 2
+ITERS = 5
 
 
-def bench_fn(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
+def make_timed(fn, reps: int = 10):
+    """Time fn amortized over `reps` in-graph repetitions.
+
+    The repetitions run inside one jit via lax.scan, with the point-cloud
+    input perturbed by the previous step's scalar output (prevents CSE), so
+    host<->device relay latency is paid once per measurement, not per rep.
+    Returned time is seconds per single fn invocation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def repeated(*args):
+        pc = args[-1]
+
+        def body(carry, _):
+            out = jnp.sum(fn(*args[:-1], pc + carry * 1e-12))
+            return out, None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return final
+
+    jitted = jax.jit(repeated)
+
+    def run(*args):
+        float(jitted(*args))  # compile + warm
+        for _ in range(WARMUP - 1):
+            float(jitted(*args))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            float(jitted(*args))
+        return (time.perf_counter() - t0) / (ITERS * reps)
+
+    return run
 
 
 if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
 
     from ogc_tpu.models.segnet import MaskFormer3D
 
@@ -53,22 +86,20 @@ if __name__ == "__main__":
         n_slot=10, n_point=N_POINTS, arch="kitti",
         n_transformer_layer=2, transformer_embed_dim=128,
     )
-    seg_params = segnet.init(jax.random.PRNGKey(0), pc[:1], pc[:1])
-    seg_fwd = jax.jit(lambda p, x: segnet.apply(p, x, x))
-    t_seg = bench_fn(seg_fwd, seg_params, pc)
+    seg_params = jax.jit(segnet.init)(jax.random.PRNGKey(0), pc[:1], pc[:1])
+    t_seg = make_timed(lambda p, x: segnet.apply(p, x, x))(seg_params, pc)
 
     t_flow = 0.0
     try:
         from ogc_tpu.models.flownet import FlowStep3D
 
-        flownet = FlowStep3D(npoint=N_POINTS, arch="kitti")
-        fparams = flownet.init(
-            jax.random.PRNGKey(1), pc[:1], pc[:1], pc[:1], pc[:1], 2
-        )
-        flow_fwd = jax.jit(
-            lambda p, a, b: flownet.apply(p, a, b, a, b, 5)[-1],
-        )
-        t_flow = bench_fn(flow_fwd, fparams, pc, pc)
+        flownet = FlowStep3D(npoint=N_POINTS, arch="kitti", k_decay_fact=0.5)
+        fvars = jax.jit(
+            lambda k, a, b: flownet.init(k, a, b, a, b, 2)
+        )(jax.random.PRNGKey(1), pc[:1], pc[:1])
+        t_flow = make_timed(
+            lambda v, a, b: flownet.apply(v, a, b, a, b, 5, train=False)[-1]
+        )(fvars, pc, pc)
     except ImportError:
         pass  # flownet not built yet; seg-only benchmark
 
