@@ -1,0 +1,151 @@
+"""Fully-supervised segmentation trainer (baseline).
+
+Counterpart of the reference train_seg_sup.py Trainer: single-frame forward,
+Hungarian-matched CE+Dice loss against one-hot GT with valid masks.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ogc_tpu.losses.seg_sup import SupLossConfig, supervised_mask_loss
+from ogc_tpu.metrics.seg import accumulate_eval_results, calculate_PQ_F1
+from ogc_tpu.parallel import mesh as pmesh
+from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.meters import AverageMeter
+
+
+class SupSegTrainer:
+    def __init__(self, model, params, loss_cfg: SupLossConfig, optimizer,
+                 ignore_npoint_thresh, exp_base, mesh=None, writer=None):
+        self.model = model
+        self.loss_cfg = loss_cfg
+        self.optimizer = optimizer
+        self.ignore_npoint_thresh = ignore_npoint_thresh
+        self.exp_base = exp_base
+        os.makedirs(exp_base, exist_ok=True)
+        self.checkpoint_name = osp.join(exp_base, "current")
+        self.best_name = osp.join(exp_base, "best")
+        self.writer = writer
+
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(jax.devices()[:1])
+        self.params = pmesh.replicate(self.mesh, params)
+        self.opt_state = pmesh.replicate(self.mesh, optimizer.init(params))
+
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _loss(self, params, pc, gt_mask, valid):
+        mask = self.model.apply(params, pc, pc)
+        loss, ld = supervised_mask_loss(mask, gt_mask, valid, self.loss_cfg)
+        return loss, (ld, mask)
+
+    def _train_step_impl(self, params, opt_state, pc, gt_mask, valid):
+        (loss, (ld, mask)), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, pc, gt_mask, valid
+        )
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, ld, mask
+
+    def _eval_step_impl(self, params, pc, gt_mask, valid):
+        loss, (ld, mask) = self._loss(params, pc, gt_mask, valid)
+        return loss, ld, mask
+
+    def _shard(self, *arrays):
+        n_dev = len(self.mesh.devices.reshape(-1))
+        if arrays[0].shape[0] % n_dev == 0:
+            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
+        return arrays
+
+    def train_it(self, it, batch):
+        pcs, segms, _, valids = batch
+        pc, gt_mask, valid = pcs[:, 0], segms[:, 0], valids[:, 0]
+        pc, gt_mask, valid = self._shard(pc, gt_mask, valid)
+        self.params, self.opt_state, ld, mask = self._train_step(
+            self.params, self.opt_state, pc, gt_mask, valid
+        )
+        ld = {k: float(v) for k, v in ld.items()}
+        segm = np.asarray(gt_mask).argmax(2)
+        return ld, segm, np.asarray(mask)
+
+    def eval_epoch(self, loader):
+        meter = AverageMeter()
+        total_loss, count = 0.0, 1.0
+        ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
+        for batch in loader:
+            pcs, segms, _, valids = batch
+            pc, gt_mask, valid = pcs[:, 0], segms[:, 0], valids[:, 0]
+            pc_d, gt_d, valid_d = self._shard(pc, gt_mask, valid)
+            loss, ld, mask = self._eval_step(self.params, pc_d, gt_d, valid_d)
+            total_loss += float(loss)
+            count += 1
+            meter.append_loss({k: float(v) for k, v in ld.items()})
+            segm = np.asarray(gt_mask).argmax(2)
+            iou, matched, _, n_gt = accumulate_eval_results(
+                segm, np.asarray(mask), self.ignore_npoint_thresh
+            )
+            ap["Pred_IoU"].append(iou)
+            ap["Pred_Matched"].append(matched)
+            ap["N_GT_Inst"].append(n_gt)
+        return total_loss / count, meter.get_mean_loss_dict(), ap
+
+    def train(self, n_epochs, train_loader, test_loader=None, progress=True):
+        it = 0
+        best_loss = 1e10
+        save_checkpoint(self.params, True, self.checkpoint_name, self.best_name)
+        for epoch in range(1, n_epochs + 1):
+            train_meter = AverageMeter()
+            ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
+            for batch in train_loader:
+                ld, segm, mask = self.train_it(it, batch)
+                it += 1
+                train_meter.append_loss(ld)
+                if self.writer is not None:
+                    for k, v in ld.items():
+                        self.writer.add_scalar("train/" + k, v, global_step=it)
+                iou, matched, _, n_gt = accumulate_eval_results(
+                    segm, mask, self.ignore_npoint_thresh
+                )
+                ap["Pred_IoU"].append(iou)
+                ap["Pred_Matched"].append(matched)
+                ap["N_GT_Inst"].append(n_gt)
+
+            train_avg = train_meter.get_mean_loss_dict()
+            pq, f1, pre, rec = calculate_PQ_F1(
+                np.concatenate(ap["Pred_IoU"]) if ap["Pred_IoU"] else np.zeros(0),
+                np.concatenate(ap["Pred_Matched"]) if ap["Pred_Matched"] else np.zeros(0),
+                int(np.sum(ap["N_GT_Inst"])),
+            )
+            if progress:
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in train_avg.items())
+                print(f"[epoch {epoch:3d}] train: {msg} | PQ@50={pq:.4f}")
+            if self.writer is not None:
+                for k, v in train_avg.items():
+                    self.writer.add_scalar("epoch_sum_train/" + k, v, global_step=epoch)
+                self.writer.add_scalar("epoch_sum_train/PQ@50", pq, global_step=epoch)
+
+            if test_loader is not None:
+                val_loss, val_avg, val_ap = self.eval_epoch(test_loader)
+                pq, f1, pre, rec = calculate_PQ_F1(
+                    np.concatenate(val_ap["Pred_IoU"]) if val_ap["Pred_IoU"] else np.zeros(0),
+                    np.concatenate(val_ap["Pred_Matched"]) if val_ap["Pred_Matched"] else np.zeros(0),
+                    int(np.sum(val_ap["N_GT_Inst"])),
+                )
+                if progress:
+                    print(f"[epoch {epoch:3d}]   val: loss={val_loss:.4f} PQ@50={pq:.4f} F1@50={f1:.4f}")
+                if self.writer is not None:
+                    for k, v in val_avg.items():
+                        self.writer.add_scalar("epoch_sum_val/" + k, v, global_step=epoch)
+                    self.writer.add_scalar("epoch_sum_val/PQ@50", pq, global_step=epoch)
+                is_best = val_loss < best_loss
+                best_loss = min(best_loss, val_loss)
+                save_checkpoint(self.params, is_best, self.checkpoint_name, self.best_name)
+        return best_loss

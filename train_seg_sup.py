@@ -1,0 +1,114 @@
+"""Train the fully-supervised segmentation baseline.
+
+Usage (CLI-compatible with the reference train_seg_sup.py):
+    python train_seg_sup.py config/seg/sapien/sapien_sup.yaml
+"""
+
+import argparse
+import os.path as osp
+
+import numpy as np
+
+
+def main():
+    from ogc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.data.base import DataLoader
+    from ogc_tpu.losses.seg_sup import SupLossConfig
+    from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.parallel import mesh as pmesh
+    from ogc_tpu.train.seg import make_optimizer
+    from ogc_tpu.train.seg_sup import SupSegTrainer
+    from ogc_tpu.utils.config import load_config_into_args
+    from ogc_tpu.utils.logging import make_writer
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str, help="Config file")
+    args = parser.parse_args()
+    load_config_into_args(args)
+
+    np.random.seed(args.random_seed)
+
+    data_root = args.data["root"]
+    if args.dataset == "sapien":
+        from ogc_tpu.data.sapien import SapienDataset as TrainDataset
+
+        data_root = osp.join(data_root, "mbs-shapepart")
+    elif args.dataset == "ogcdr":
+        from ogc_tpu.data.ogcdr import OGCDynamicRoomDataset as TrainDataset
+    elif args.dataset == "kittisf":
+        from ogc_tpu.data.kittisf import KITTISceneFlowDataset as TrainDataset
+    else:
+        raise KeyError("Unrecognized dataset!")
+
+    model = MaskFormer3D(
+        n_slot=args.segnet["n_slot"],
+        n_point=args.segnet["n_point"],
+        arch=args.dataset,
+        use_xyz=args.segnet["use_xyz"],
+        n_transformer_layer=args.segnet["n_transformer_layer"],
+        transformer_embed_dim=args.segnet["transformer_embed_dim"],
+        transformer_input_pos_enc=args.segnet["transformer_input_pos_enc"],
+    )
+
+    if args.dataset in ("sapien", "ogcdr"):
+        view_sels = [[0, 1], [1, 2], [2, 3]]
+        train_set = TrainDataset(
+            data_root=data_root, split="train", view_sels=view_sels,
+            decentralize=args.data["decentralize"],
+            onehot_label=True, max_n_object=args.segnet["n_slot"],
+        )
+        val_set = TrainDataset(
+            data_root=data_root, split="val", view_sels=view_sels,
+            decentralize=args.data["decentralize"],
+            onehot_label=True, max_n_object=args.segnet["n_slot"],
+        )
+    else:
+        view_sels = [[0, 1]]
+        train_set = TrainDataset(
+            data_root=data_root, mapping_path=args.data["train_mapping"],
+            downsampled=True, view_sels=view_sels,
+            decentralize=args.data["decentralize"],
+            onehot_label=True, max_n_object=args.segnet["n_slot"],
+            ignore_npoint_thresh=args.ignore_npoint_thresh,
+        )
+        val_set = TrainDataset(
+            data_root=data_root, mapping_path=args.data["val_mapping"],
+            downsampled=True, view_sels=view_sels,
+            decentralize=args.data["decentralize"],
+            onehot_label=True, max_n_object=args.segnet["n_slot"],
+            ignore_npoint_thresh=args.ignore_npoint_thresh,
+        )
+
+    dummy = jnp.zeros((1, args.segnet["n_point"], 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.random_seed), dummy, dummy)
+
+    train_loader = DataLoader(
+        train_set, batch_size=args.batch_size, shuffle=True,
+        seed=args.random_seed, num_workers=4, drop_last=True,
+    )
+    val_loader = DataLoader(val_set, batch_size=args.batch_size, shuffle=False,
+                            num_workers=4)
+
+    optimizer = make_optimizer(
+        args.lr, args.lr_decay, args.lr_clip, args.decay_step,
+        args.batch_size, args.weight_decay,
+    )
+    loss_cfg = SupLossConfig(weights=tuple(args.loss["weights"]))
+
+    trainer = SupSegTrainer(
+        model=model, params=params, loss_cfg=loss_cfg, optimizer=optimizer,
+        ignore_npoint_thresh=args.ignore_npoint_thresh,
+        exp_base=args.save_path,
+        mesh=pmesh.make_mesh(),
+        writer=make_writer(osp.join(args.save_path, "log")),
+    )
+    trainer.train(args.epochs, train_loader, val_loader)
+
+
+if __name__ == "__main__":
+    main()
