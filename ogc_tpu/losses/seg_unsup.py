@@ -327,10 +327,17 @@ def ogc_loss(
     total = total + gate(cfg.weights[1], cfg.start_steps[1]) * l_smooth
 
     if aug_transform:
-        l_inv = invariance_loss(
-            masks[0], masks[2], cfg.cross_entropy, cfg.invariance_loss_norm
-        ) + invariance_loss(
-            masks[1], masks[3], cfg.cross_entropy, cfg.invariance_loss_norm
+        # Invariance between each frame and its augmented copy: with 4 frames
+        # (2 original x 2 views) pairs are (0,2),(1,3)
+        # (losses/seg_loss_unsup.py:383); the Waymo 1-frame variant has 2
+        # frames and pairs (0,1) (train_seg_waymo.py:306-309).
+        half = n_frames // 2
+        l_inv = sum(
+            invariance_loss(
+                masks[i], masks[i + half], cfg.cross_entropy,
+                cfg.invariance_loss_norm,
+            )
+            for i in range(half)
         )
         loss_dict["invariance"] = l_inv
         total = total + gate(cfg.weights[2], cfg.start_steps[2]) * l_inv

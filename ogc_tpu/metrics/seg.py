@@ -145,11 +145,94 @@ def calculate_PQ_F1(
     return float(pq), float(f1), float(pre), float(rec)
 
 
+def eval_segm_ignmask(
+    segm: np.ndarray, mask: np.ndarray, ignore: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-point-ignore-mask variant of eval_segm.
+
+    The reference's test_seg_waymo.py:11 imports a `seg_metric_ignmask`
+    module that does NOT exist in the repo (latent defect, SURVEY §4); this
+    implements the protocol it implies: points with ignore=1 contribute to no
+    intersection/union, predictions mostly (>50%) inside the ignored region
+    are dropped rather than counted as FPs, and GT instances are formed from
+    non-ignored points only.
+
+    :param segm: (N,) GT ids; :param mask: (N, K); :param ignore: (N,) 0/1.
+    """
+    segm_pred_raw = np.argmax(mask, axis=1)
+    ignored = np.asarray(ignore).astype(bool)
+
+    pred_ids, segm_pred, pred_sizes_all = np.unique(
+        segm_pred_raw, return_inverse=True, return_counts=True
+    )
+    mask = mask[:, pred_ids]
+    n_pred = pred_ids.shape[0]
+
+    overlap = np.bincount(segm_pred[ignored], minlength=n_pred).astype(np.float64)
+    invalid_pred = (overlap / pred_sizes_all) > 0.5
+
+    keep = ~ignored
+    segm_k = segm[keep]
+    pred_k = segm_pred[keep]
+    mask_k = mask[keep]
+
+    _, segm_k, gt_sizes = np.unique(segm_k, return_inverse=True, return_counts=True)
+    n_gt = gt_sizes.shape[0]
+    pred_sizes = np.bincount(pred_k, minlength=n_pred).astype(np.float64)
+    valid_pred = np.logical_and(pred_sizes > 0, ~invalid_pred)
+
+    joint = segm_k * n_pred + pred_k
+    intersection = np.bincount(joint, minlength=n_gt * n_pred).reshape(
+        n_gt, n_pred
+    ).astype(np.float64)
+
+    intersection = intersection[:, valid_pred]
+    pred_sizes = pred_sizes[valid_pred]
+    mask_k = mask_k[:, valid_pred]
+    kept_ids = np.where(valid_pred)[0]
+    n_pred = int(valid_pred.sum())
+
+    confidence = np.zeros(n_pred)
+    for jj, j in enumerate(kept_ids):
+        sel = pred_k == j
+        confidence[jj] = float(np.mean(mask_k[sel, jj])) if sel.any() else 0.0
+
+    union = gt_sizes[:, None] + pred_sizes[None, :] - intersection
+    iou = intersection / np.maximum(union, 1e-10)
+    pred_iou = iou.max(axis=0) if n_gt > 0 else np.zeros(n_pred)
+    pred_matched = (pred_iou >= 0.5).astype(float)
+    return pred_iou, pred_matched, confidence, n_gt
+
+
+def accumulate_eval_results_ignmask(
+    segm: np.ndarray, mask: np.ndarray, ignore: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Batch version of eval_segm_ignmask (the `seg_metric_ignmask`
+    equivalent of metrics/seg_metric.py:8-35)."""
+    segm = np.asarray(segm)
+    mask = np.asarray(mask)
+    ignore = np.asarray(ignore)
+    ious, matched, confs, n_gt = [], [], [], 0
+    for b in range(segm.shape[0]):
+        i, m, c, n = eval_segm_ignmask(segm[b], mask[b], ignore[b])
+        ious.append(i)
+        matched.append(m)
+        confs.append(c)
+        n_gt += n
+    return (
+        np.concatenate(ious) if ious else np.zeros(0),
+        np.concatenate(matched) if matched else np.zeros(0),
+        np.concatenate(confs) if confs else np.zeros(0),
+        n_gt,
+    )
+
+
 def clustering_metrics(
     mask: np.ndarray,
     segm: np.ndarray,
     spec: Sequence[str] = ("iou", "ri"),
     ignore_npoint_thresh: int = 0,
+    ignore_mask: np.ndarray = None,
 ) -> Dict[str, List[float]]:
     """Hungarian mIoU and Rand Index per batch element.
 
@@ -174,7 +257,11 @@ def clustering_metrics(
     gt_oh = np.eye(k, dtype=np.float32)[gt_segm]
 
     valid_point = None
-    if ignore_npoint_thresh > 0:
+    if ignore_mask is not None:
+        valid_point = ~np.asarray(ignore_mask).reshape(B, -1).astype(bool)
+        gt_oh[~valid_point] = 0
+        pred_oh[~valid_point] = 0
+    elif ignore_npoint_thresh > 0:
         segm_size = gt_oh.sum(1, keepdims=True)  # (B, 1, K)
         nonsmall = segm_size >= ignore_npoint_thresh
         valid_point = (gt_oh * nonsmall).sum(-1) > 0  # (B, N)
@@ -190,7 +277,7 @@ def clustering_metrics(
         all_ious = []
         for b, n_gt in enumerate(n_gt_segms):
             conf = iou[b, :n_gt, :]
-            if ignore_npoint_thresh > 0:
+            if ignore_mask is None and ignore_npoint_thresh > 0:
                 nonsmall_b = (gt_oh[b].sum(0) >= ignore_npoint_thresh)[:n_gt]
                 conf = conf[nonsmall_b]
             row, col = linear_sum_assignment(conf, maximize=True)
@@ -201,7 +288,7 @@ def clustering_metrics(
         ri_gt = np.einsum("bnk,bmk->bnm", gt_oh, gt_oh)
         ri_pd = np.einsum("bnk,bmk->bnm", pred_oh, pred_oh)
         agree = (ri_gt == ri_pd).astype(np.float64)
-        if ignore_npoint_thresh > 0:
+        if valid_point is not None:
             vp = valid_point.astype(np.float64)
             vmask = vp[:, :, None] * vp[:, None, :]
             ri = (vmask * agree).sum((1, 2)) / vmask.sum((1, 2))

@@ -63,9 +63,14 @@ class SegTrainer:
         exp_base: str,
         mesh=None,
         writer=None,
+        frame_stride: int = 1,
     ):
+        """:param frame_stride: subsample the item's frame axis (Waymo items
+        duplicate the single frame; the reference takes pcs[:, ::2],
+        train_seg_waymo.py:58)."""
         self.model = model
         self.loss_cfg = loss_cfg
+        self.frame_stride = frame_stride
         self.optimizer = optimizer
         self.aug_transform_epoch = aug_transform_epoch
         self.ignore_npoint_thresh = ignore_npoint_thresh
@@ -131,6 +136,10 @@ class SegTrainer:
 
     def train_it(self, it: int, batch, aug_transform: bool = False):
         pcs, segms, flows, _ = batch
+        if self.frame_stride > 1:
+            pcs = pcs[:, :: self.frame_stride]
+            segms = segms[:, :: self.frame_stride]
+            flows = flows[:, :: self.frame_stride]
         b = pcs.shape[0]
         pcs_d, flows_d = self._shard(pcs, flows)
         self.params, self.opt_state, ld, masks = self._train_step(
@@ -148,6 +157,10 @@ class SegTrainer:
         ap = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
         for batch in loader:
             pcs, segms, flows, _ = batch
+            if self.frame_stride > 1:
+                pcs = pcs[:, :: self.frame_stride]
+                segms = segms[:, :: self.frame_stride]
+                flows = flows[:, :: self.frame_stride]
             pcs_d, flows_d = self._shard(pcs, flows)
             loss, ld, masks = self._eval_step(self.params, pcs_d, flows_d)
             total_loss += float(loss)

@@ -1,0 +1,141 @@
+"""Evaluate / extract scene flow on full-resolution KITTI-SF scenes:
+ground removal by height, ICP ego-motion on FPS subclouds, FlowStep3D on
+FPS-8192 points, 3-NN upsampling back, ego+residual flow composition.
+
+Usage (CLI-compatible with the reference test_flow_kittisf.py):
+    python test_flow_kittisf.py <config.yaml> --split train --save
+"""
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def main():
+    from ogc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu import ops
+    from ogc_tpu.data.kittisf import KITTISceneFlowDataset as TestDataset
+    from ogc_tpu.metrics.flow import eval_flow
+    from ogc_tpu.models.flownet import FlowStep3D
+    from ogc_tpu.utils.checkpoint import load_checkpoint
+    from ogc_tpu.utils.config import load_config_into_args
+    from ogc_tpu.utils.gpf import fps_downsample
+    from ogc_tpu.utils.icp import icp
+    from ogc_tpu.utils.meters import AverageMeter
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str, help="Config file")
+    parser.add_argument("--split", type=str, default="train")
+    parser.add_argument("--test_model_iters", type=int, default=4)
+    parser.add_argument("--save", default=False, action="store_true")
+    args = parser.parse_args()
+    load_config_into_args(args)
+
+    flownet = FlowStep3D(
+        npoint=args.flownet["npoint"],
+        arch="kitti",
+        use_instance_norm=args.flownet["use_instance_norm"],
+        loc_flow_nn=args.flownet["loc_flow_nn"],
+        loc_flow_rad=args.flownet["loc_flow_rad"],
+        k_decay_fact=0.5,
+    )
+    n_point = args.flownet["npoint"]
+    dummy = jnp.zeros((1, n_point, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k: flownet.init(k, dummy, dummy, dummy, dummy, 2)
+    )(jax.random.PRNGKey(0))
+    variables = load_checkpoint(args.save_path, variables)
+    print("Loaded weights from", args.save_path)
+
+    data_root = args.data["root"]
+    mapping_path = (
+        "data_prepare/kittisf/splits/val.txt"
+        if args.split == "val"
+        else "data_prepare/kittisf/splits/train.txt"
+    )
+    view_sels = [[0, 1], [1, 0]]
+    test_set = TestDataset(
+        data_root=data_root, mapping_path=mapping_path, downsampled=False,
+        view_sels=view_sels,
+    )
+    epe_norm_thresh = 0.05
+
+    if args.save:
+        save_dir = osp.join(data_root, "flow_preds/flowstep3d")
+        os.makedirs(save_dir, exist_ok=True)
+
+    # ICP hyperparameters (reference test_flow_kittisf.py:69-72).
+    n_point_icp = 1024
+    max_icp_iters = 50
+    decentralize = True
+
+    fwd = jax.jit(
+        lambda v, a, b: flownet.apply(
+            v, a, b, a, b, args.test_model_iters, train=False
+        )[-1]
+    )
+
+    eval_meter = AverageMeter()
+    for sid in range(len(test_set)):
+        pcs, _, flows, _ = test_set[sid]
+        pc1_org, pc2_org = pcs[0], pcs[1]
+        flow_org = flows[0]
+
+        # Ground removal by height (reference :84-86).
+        is_ground = np.logical_and(pc1_org[:, 1] < -1.4, pc2_org[:, 1] < -1.4)
+        not_ground = np.logical_not(is_ground)
+        pc1, pc2 = pc1_org[not_ground], pc2_org[not_ground]
+
+        if decentralize:
+            center = np.concatenate((pc1, pc2), 0).mean(0)
+            pc1_icp, pc2_icp = pc1 - center, pc2 - center
+        else:
+            pc1_icp, pc2_icp = pc1, pc2
+
+        pc1_fps = pc1_icp[fps_downsample(pc1_icp, n_point_icp)]
+        pc2_fps = pc2_icp[fps_downsample(pc2_icp, n_point_icp)]
+
+        # Ego-motion from ICP on background points.
+        T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+        rot, transl = T[:3, :3], T[:3, 3].T
+        flow_pred_org = (pc1_org @ rot.T + transl - pc1_org).astype(np.float32)
+
+        # Residual flow from the network on ego-compensated points.
+        pc1 = (pc1 @ rot.T + transl).astype(np.float32)
+        pc1_net = pc1[fps_downsample(pc1, n_point)]
+        pc2_net = pc2[fps_downsample(pc2, n_point)]
+        flow_fps = fwd(
+            variables, jnp.asarray(pc1_net[None]), jnp.asarray(pc2_net[None])
+        )
+        flow_up = np.asarray(
+            ops.upsample_feat(
+                jnp.asarray(pc1[None]), jnp.asarray(pc1_net[None]), flow_fps
+            )
+        )[0]
+        flow_pred_org[not_ground] += flow_up
+
+        epe, acc_s, acc_r, outlier = eval_flow(
+            flow_org[None], flow_pred_org[None], epe_norm_thresh=epe_norm_thresh
+        )
+        eval_meter.append_loss(
+            {"EPE": epe, "AccS": acc_s, "AccR": acc_r, "Outlier": outlier}
+        )
+
+        if args.save:
+            test_set._save_predflow(
+                flow_pred_org[None], save_root=save_dir, batch_size=1,
+                n_frame=len(view_sels), offset=sid,
+            )
+
+    print("Evaluation on kittisf-%s:" % args.split, eval_meter.get_mean_loss_dict())
+
+
+if __name__ == "__main__":
+    main()
