@@ -1,0 +1,216 @@
+"""Evaluate / extract scene flow on full-resolution Waymo scenes:
+ground removal (height + GPF), ego-motion (GT odometry or ICP), FOV
+register-bounding, FPS to 8192, FlowStep3D, 3-NN upsampling, optional
+flow-norm denoising, ego+residual composition.
+
+Usage (CLI-compatible with the reference test_flow_waymo.py):
+    python test_flow_waymo.py <config.yaml> --split train --use_odometry --bound --save
+"""
+
+import argparse
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def register_bound(pc1, pc2, rot, transl, bound=True):
+    """Keep frame-1 points that remain inside frame-2's FOV after warping
+    (reference test_flow_waymo.py:18-46)."""
+    pc1_t = pc1 @ rot.T + transl
+    select = np.ones(pc1.shape[0], dtype=bool)
+    if bound:
+        front = pc1_t[:, 2] > np.abs(pc1_t[:, 0])
+        in_range = (pc1_t**2).sum(1) < 60 * 60
+        in_bound = np.abs(pc1_t[:, 0]) < 50
+        in_depth = pc1_t[:, 2] < 35
+        select = np.logical_and(select, front & in_range & in_bound & in_depth)
+    return select
+
+
+def main():
+    from ogc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu import ops
+    from ogc_tpu.data.waymo import WaymoOpenDataset as TestDataset
+    from ogc_tpu.metrics.flow import eval_flow
+    from ogc_tpu.models.flownet import FlowStep3D
+    from ogc_tpu.utils.checkpoint import load_checkpoint
+    from ogc_tpu.utils.config import load_config_into_args
+    from ogc_tpu.utils.gpf import fps_downsample, ground_plane_fitting
+    from ogc_tpu.utils.icp import icp
+    from ogc_tpu.utils.meters import AverageMeter
+
+    np.random.seed(0)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str, help="Config file")
+    parser.add_argument("--split", type=str, default="train")
+    parser.add_argument("--use_odometry", default=False, action="store_true")
+    parser.add_argument("--denoise", default=False, action="store_true")
+    parser.add_argument("--bound", default=False, action="store_true")
+    parser.add_argument("--test_model_iters", type=int, default=4)
+    parser.add_argument("--save", default=False, action="store_true")
+    args = parser.parse_args()
+    load_config_into_args(args)
+
+    flownet = FlowStep3D(
+        npoint=args.flownet["npoint"],
+        arch="kitti",
+        use_instance_norm=args.flownet["use_instance_norm"],
+        loc_flow_nn=args.flownet["loc_flow_nn"],
+        loc_flow_rad=args.flownet["loc_flow_rad"],
+        k_decay_fact=0.5,
+    )
+    n_point = args.flownet["npoint"]
+    dummy = jnp.zeros((1, n_point, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k: flownet.init(k, dummy, dummy, dummy, dummy, 2)
+    )(jax.random.PRNGKey(0))
+    variables = load_checkpoint(args.save_path, variables)
+    print("Loaded weights from", args.save_path)
+
+    data_root = args.data["root"]
+    mapping_path = (
+        "data_prepare/waymo/splits/val.txt"
+        if args.split == "val"
+        else "data_prepare/waymo/splits/train.txt"
+    )
+    test_set = TestDataset(data_root=data_root, mapping_path=mapping_path)
+    epe_norm_thresh = 0.05
+
+    if args.save:
+        save_dir = osp.join(data_root, "flow_preds/flowstep3d_gpf")
+        if args.use_odometry:
+            save_dir += "_odo"
+        if args.bound:
+            save_dir += "_bound"
+        if args.denoise:
+            save_dir += "_denoise"
+        os.makedirs(save_dir, exist_ok=True)
+
+    # Hyperparameters (reference test_flow_waymo.py:113-126).
+    n_point_gpf, n_gpf_iter, n_gpf_lpr = 2048, 5, 50
+    thresh_seed, thresh_dist = 0.4, 0.4
+    n_point_icp, max_icp_iters, decentralize = 1024, 50, True
+    thresh_flow_norm = 2.5
+
+    fwd = jax.jit(
+        lambda v, a, b: flownet.apply(
+            v, a, b, a, b, args.test_model_iters, train=False
+        )[-1]
+    )
+
+    meter, meter_g, meter_ng = AverageMeter(), AverageMeter(), AverageMeter()
+    for sid in range(len(test_set)):
+        sequence_name, v1, v2 = test_set.data_ids[sid]
+        pcs, _, flows, _ = test_set[sid]
+        pc1_org, pc2_org = pcs[0], pcs[1]
+        flow_org = flows[0]
+
+        # Empty frames are skipped with zero flow (reference :147-154).
+        if min(pc1_org.shape[0], pc2_org.shape[0]) < 1:
+            if args.save:
+                test_set._save_predflow(
+                    np.zeros_like(pc1_org)[None], save_root=save_dir,
+                    batch_size=1, n_frame=1, offset=sid,
+                )
+            continue
+
+        # Ground removal: height threshold OR GPF.
+        def not_ground(pc):
+            g_h = pc[:, 1] < 0.3
+            g_gpf = ground_plane_fitting(
+                pc, n_sample_point=n_point_gpf, n_iter=n_gpf_iter,
+                n_lpr=n_gpf_lpr, thresh_seed=thresh_seed,
+                thresh_dist=thresh_dist,
+            ).astype(bool)
+            return np.logical_not(np.logical_or(g_h, g_gpf))
+
+        not_ground1 = not_ground(pc1_org)
+        not_ground2 = not_ground(pc2_org)
+        pc1, pc2 = pc1_org[not_ground1], pc2_org[not_ground2]
+
+        if args.use_odometry:
+            seq_path = osp.join(data_root, "data", sequence_name)
+            pose1 = np.load(osp.join(seq_path, "pose_%04d.npy" % v1))
+            pose2 = np.load(osp.join(seq_path, "pose_%04d.npy" % v2))
+            rot = pose2[:3, :3].T @ pose1[:3, :3]
+            transl = pose2[:3, :3].T @ (pose1[:3, 3] - pose2[:3, 3])
+        else:
+            if decentralize:
+                center = np.concatenate((pc1, pc2), 0).mean(0)
+                pc1_icp, pc2_icp = pc1 - center, pc2 - center
+            else:
+                pc1_icp, pc2_icp = pc1, pc2
+            pc1_fps = pc1_icp[fps_downsample(pc1_icp, n_point_icp)]
+            pc2_fps = pc2_icp[fps_downsample(pc2_icp, n_point_icp)]
+            T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+            rot, transl = T[:3, :3], T[:3, 3]
+
+        flow_pred_org = (pc1_org @ rot.T + transl - pc1_org).astype(np.float32)
+
+        pc1 = (pc1 @ rot.T + transl).astype(np.float32)
+        select1 = register_bound(pc1, pc2, rot, transl, args.bound)
+        pc1_sel = pc1[select1]
+        inv_rot, inv_transl = rot.T, -rot.T @ transl
+        select2 = register_bound(pc2, pc1_sel, inv_rot, inv_transl, args.bound)
+        pc2_sel = pc2[select2]
+
+        if min(pc1_sel.shape[0], pc2_sel.shape[0]) > 0:
+            pc1_net = pc1_sel[fps_downsample(pc1_sel, n_point)]
+            pc2_net = pc2_sel[fps_downsample(pc2_sel, n_point)]
+            flow_fps = fwd(
+                variables, jnp.asarray(pc1_net[None]), jnp.asarray(pc2_net[None])
+            )
+            flow_sel = np.asarray(
+                ops.upsample_feat(
+                    jnp.asarray(pc1_sel[None]), jnp.asarray(pc1_net[None]),
+                    flow_fps,
+                )
+            )[0]
+
+            if args.denoise:
+                outlier = np.linalg.norm(flow_sel, axis=1) > thresh_flow_norm
+                flow_sel[outlier] = 0
+
+            flow_pred = np.zeros((pc1.shape[0], 3), np.float32)
+            flow_pred[select1] = flow_sel
+            flow_pred_org[not_ground1] += flow_pred
+
+        epe, acc_s, acc_r, outl = eval_flow(
+            flow_org[None], flow_pred_org[None], epe_norm_thresh=epe_norm_thresh
+        )
+        meter.append_loss({"EPE": epe, "AccS": acc_s, "AccR": acc_r, "Outlier": outl})
+
+        is_ground1 = np.logical_not(not_ground1)
+        if is_ground1.any():
+            e = eval_flow(
+                flow_org[None][:, is_ground1], flow_pred_org[None][:, is_ground1],
+                epe_norm_thresh=epe_norm_thresh,
+            )
+            meter_g.append_loss(dict(zip(["EPE", "AccS", "AccR", "Outlier"], e)))
+        if not_ground1.any():
+            e = eval_flow(
+                flow_org[None][:, not_ground1], flow_pred_org[None][:, not_ground1],
+                epe_norm_thresh=epe_norm_thresh,
+            )
+            meter_ng.append_loss(dict(zip(["EPE", "AccS", "AccR", "Outlier"], e)))
+
+        if args.save:
+            test_set._save_predflow(
+                flow_pred_org[None], save_root=save_dir, batch_size=1,
+                n_frame=1, offset=sid,
+            )
+
+    print("Evaluation on waymo-%s:" % args.split, meter.get_mean_loss_dict())
+    print("Ground points:", meter_g.get_mean_loss_dict())
+    print("Above ground points:", meter_ng.get_mean_loss_dict())
+
+
+if __name__ == "__main__":
+    main()
