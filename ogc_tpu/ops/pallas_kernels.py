@@ -1,0 +1,77 @@
+"""Pallas TPU kernels for the hot point-cloud primitives.
+
+Furthest point sampling is inherently sequential (npoint greedy steps,
+reference pointnet2/src/sampling_gpu.cu:93-253); the XLA fori_loop version
+pays per-step HLO loop overhead.  This kernel keeps the per-point running
+min-distance buffer and the coordinates resident in VMEM across all steps and
+processes the whole batch per step, so each iteration is a handful of fused
+VPU passes over (B, N).
+
+Bitwise-compatible with ops.core.furthest_point_sample: seeds index 0,
+ties resolve to the lowest index (jnp.argmax first-occurrence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fps_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
+    # out_ref is (npoint, B): the dynamic per-step store lands on the sublane
+    # dimension (Mosaic cannot do dynamic stores on the 128-lane dim).
+    B, N = x_ref.shape
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+
+    mind_ref[:] = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    out_ref[0, :] = jnp.zeros((B,), dtype=jnp.int32)
+
+    def body(i, last):
+        # Coordinates of the last selected point per batch row (one-hot
+        # masked sums; avoids unsupported dynamic gathers).
+        sel = (col == last[:, None]).astype(jnp.float32)
+        xl = jnp.sum(x * sel, axis=1)
+        yl = jnp.sum(y * sel, axis=1)
+        zl = jnp.sum(z * sel, axis=1)
+        d2 = (
+            (x - xl[:, None]) ** 2
+            + (y - yl[:, None]) ** 2
+            + (z - zl[:, None]) ** 2
+        )
+        mind = jnp.minimum(mind_ref[:], d2)
+        mind_ref[:] = mind
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)
+        out_ref[i, :] = nxt
+        return nxt
+
+    jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def furthest_point_sample_pallas(
+    xyz: jax.Array, npoint: int, interpret: bool = False
+) -> jax.Array:
+    """FPS via the Pallas kernel.  :param xyz: (B, N, 3) -> (B, npoint) int32."""
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = xyz[..., 2]
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel, npoint),
+        out_shape=jax.ShapeDtypeStruct((npoint, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.float32)],
+        interpret=interpret,
+    )(x, y, z)
+    return out.T
