@@ -122,11 +122,24 @@ class FlowSAModule(nn.Module):
         :param xyz: (B, N, 3); :param features: (B, N, C) or None.
         :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx).
         """
-        if self.npoint is not None and self.npoint != -1:
+        if (
+            self.npoint is not None
+            and self.npoint != -1
+            and self.npoint != xyz.shape[1]
+        ):
             if fps_idx is None:
                 fps_idx = ops.furthest_point_sample(xyz, self.npoint)
             new_xyz = ops.gather(xyz, fps_idx)
         else:
+            # npoint == N: identity.  The reference still runs FPS here
+            # (flowstep3d_util.py:113-116), which permutes the cloud into
+            # farthest-first order while downstream code keeps indexing it in
+            # the original order (e.g. flownet_kitti.py:230 adds the
+            # regressor's output to the unpermuted cloud) — a latent
+            # misalignment inherited from FlowStep3D.  The identity shortcut
+            # fixes the alignment AND removes ~10 needless FPS+gather passes
+            # per forward; per-point features are unchanged (grouping is
+            # permutation-equivariant).
             new_xyz = xyz
         grouped, _ = ops.query_and_group(
             self.radius, self.nsample, xyz, new_xyz, features,
