@@ -19,7 +19,7 @@ import optax
 
 from ogc_tpu.losses.flow_unsup import FlowLossConfig, flowstep3d_loss
 from ogc_tpu.parallel import mesh as pmesh
-from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.checkpoint import load_train_state, save_checkpoint
 from ogc_tpu.utils.meters import AverageMeter, RunningAverageMeter
 
 
@@ -73,6 +73,28 @@ class FlowTrainer:
     @property
     def variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def _full_state(self, epoch: int):
+        return {
+            "model_state": self.variables,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+        }
+
+    def save(self, is_best: bool, epoch: int = 0):
+        save_checkpoint(
+            self._full_state(epoch), is_best,
+            filename=self.checkpoint_name, bestname=self.best_name,
+        )
+
+    def resume(self, path: str) -> int:
+        state = load_train_state(path, jax.device_get(self._full_state(0)))
+        self.params = pmesh.replicate(self.mesh, state["model_state"]["params"])
+        self.batch_stats = pmesh.replicate(
+            self.mesh, state["model_state"]["batch_stats"]
+        )
+        self.opt_state = pmesh.replicate(self.mesh, state["opt_state"])
+        return int(state["epoch"])
 
     # ------------------------------------------------------------------
 
@@ -148,10 +170,7 @@ class FlowTrainer:
     def train(self, n_epochs, train_loader, val_loader=None, progress=True):
         it = 0
         best_loss = 1e10
-        save_checkpoint(
-            self.variables, True,
-            filename=self.checkpoint_name, bestname=self.best_name,
-        )
+        self.save(True, 0)
         for epoch in range(1, n_epochs + 1):
             train_meter = AverageMeter()
             running = RunningAverageMeter(alpha=0.3)
@@ -186,8 +205,5 @@ class FlowTrainer:
                         )
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
-                save_checkpoint(
-                    self.variables, is_best,
-                    filename=self.checkpoint_name, bestname=self.best_name,
-                )
+                self.save(is_best, epoch)
         return best_loss

@@ -20,7 +20,7 @@ import optax
 from ogc_tpu.losses.seg_unsup import OGCLossConfig, ogc_loss
 from ogc_tpu.metrics.seg import accumulate_eval_results, calculate_PQ_F1
 from ogc_tpu.parallel import mesh as pmesh
-from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.checkpoint import load_train_state, save_checkpoint
 from ogc_tpu.utils.meters import AverageMeter, RunningAverageMeter
 
 
@@ -87,6 +87,31 @@ class SegTrainer:
 
         self._train_step = jax.jit(self._train_step_impl, static_argnames=("aug",))
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    # Checkpointing: full train state (the reference saves model weights
+    # only and cannot resume, SURVEY §5).
+    # ------------------------------------------------------------------
+
+    def _full_state(self, epoch: int):
+        return {
+            "model_state": self.params,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+        }
+
+    def save(self, is_best: bool, epoch: int = 0):
+        save_checkpoint(
+            self._full_state(epoch), is_best,
+            filename=self.checkpoint_name, bestname=self.best_name,
+        )
+
+    def resume(self, path: str) -> int:
+        """Restore params + optimizer + epoch; returns the saved epoch."""
+        state = load_train_state(path, jax.device_get(self._full_state(0)))
+        self.params = pmesh.replicate(self.mesh, state["model_state"])
+        self.opt_state = pmesh.replicate(self.mesh, state["opt_state"])
+        return int(state["epoch"])
 
     # ------------------------------------------------------------------
     # Jitted steps
@@ -181,9 +206,7 @@ class SegTrainer:
         best_loss = 1e10
         aug_transform = False
 
-        save_checkpoint(
-            self.params, True, filename=self.checkpoint_name, bestname=self.best_name
-        )
+        self.save(True, 0)
 
         for epoch in range(1, n_epochs + 1):
             self.cur_epoch = epoch
@@ -252,8 +275,5 @@ class SegTrainer:
 
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
-                save_checkpoint(
-                    self.params, is_best,
-                    filename=self.checkpoint_name, bestname=self.best_name,
-                )
+                self.save(is_best, epoch)
         return best_loss

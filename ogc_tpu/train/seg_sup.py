@@ -18,7 +18,7 @@ import optax
 from ogc_tpu.losses.seg_sup import SupLossConfig, supervised_mask_loss
 from ogc_tpu.metrics.seg import accumulate_eval_results, calculate_PQ_F1
 from ogc_tpu.parallel import mesh as pmesh
-from ogc_tpu.utils.checkpoint import save_checkpoint
+from ogc_tpu.utils.checkpoint import load_train_state, save_checkpoint
 from ogc_tpu.utils.meters import AverageMeter
 
 
@@ -41,6 +41,25 @@ class SupSegTrainer:
 
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _full_state(self, epoch: int):
+        return {
+            "model_state": self.params,
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+        }
+
+    def save(self, is_best: bool, epoch: int = 0):
+        save_checkpoint(
+            self._full_state(epoch), is_best,
+            filename=self.checkpoint_name, bestname=self.best_name,
+        )
+
+    def resume(self, path: str) -> int:
+        state = load_train_state(path, jax.device_get(self._full_state(0)))
+        self.params = pmesh.replicate(self.mesh, state["model_state"])
+        self.opt_state = pmesh.replicate(self.mesh, state["opt_state"])
+        return int(state["epoch"])
 
     def _loss(self, params, pc, gt_mask, valid):
         mask = self.model.apply(params, pc, pc)
@@ -100,7 +119,7 @@ class SupSegTrainer:
     def train(self, n_epochs, train_loader, test_loader=None, progress=True):
         it = 0
         best_loss = 1e10
-        save_checkpoint(self.params, True, self.checkpoint_name, self.best_name)
+        self.save(True, 0)
         for epoch in range(1, n_epochs + 1):
             train_meter = AverageMeter()
             ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
@@ -147,5 +166,5 @@ class SupSegTrainer:
                     self.writer.add_scalar("epoch_sum_val/PQ@50", pq, global_step=epoch)
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
-                save_checkpoint(self.params, is_best, self.checkpoint_name, self.best_name)
+                self.save(is_best, epoch)
         return best_loss
