@@ -201,14 +201,18 @@ class SegTrainer:
         return total_loss / count, meter.get_mean_loss_dict(), ap
 
     def train(self, n_epochs, train_set, train_loader, test_loader=None,
-              log_every: int = 1, progress: bool = True):
-        it = 0
+              log_every: int = 1, progress: bool = True, start_epoch: int = 1):
+        it = (start_epoch - 1) * len(train_loader)
         best_loss = 1e10
         aug_transform = False
+        if start_epoch > self.aug_transform_epoch + 1:
+            aug_transform = True
+            train_set.aug_transform = True
 
-        self.save(True, 0)
+        if start_epoch == 1:
+            self.save(True, 0)
 
-        for epoch in range(1, n_epochs + 1):
+        for epoch in range(start_epoch, n_epochs + 1):
             self.cur_epoch = epoch
             train_meter = AverageMeter()
             running = RunningAverageMeter(alpha=0.3)

@@ -88,6 +88,8 @@ def main():
     parser.add_argument("config", type=str, help="Config file")
     parser.add_argument("--round", type=int, default=0,
                         help="Which round of iterative optimization")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="Resume from <save_path>_R<round>/current.ckpt")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -137,7 +139,12 @@ def main():
         mesh=mesh,
         writer=writer,
     )
-    trainer.train(args.epochs, train_set, train_loader, val_loader)
+    start_epoch = 1
+    if args.resume:
+        start_epoch = trainer.resume(osp.join(exp_base, "current")) + 1
+        print(f"Resumed from epoch {start_epoch - 1}")
+    trainer.train(args.epochs, train_set, train_loader, val_loader,
+                  start_epoch=start_epoch)
 
 
 if __name__ == "__main__":
