@@ -84,9 +84,12 @@ class _NormedConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum=0.1):
+        from ogc_tpu.nn.layers import compute_dtype
+
         for c in self.mlp:
-            x = nn.Dense(c, use_bias=False)(x)
+            x = nn.Dense(c, use_bias=False, dtype=compute_dtype())(x)
             if self.use_act:
+                x = x.astype(jnp.float32)
                 if self.use_instance_norm:
                     x = InstanceNorm()(x)
                 else:
@@ -94,7 +97,7 @@ class _NormedConvStack(nn.Module):
                         x, use_running_average=not train, momentum=bn_momentum
                     )
                 x = nn.relu(x)
-        return x
+        return x.astype(jnp.float32)
 
 
 class FlowSAModule(nn.Module):

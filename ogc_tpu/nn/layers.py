@@ -19,6 +19,21 @@ kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 NormSpec = Optional[Mapping[str, Any]]
 
+# Compute dtype for the pointwise-MLP stacks (params stay f32).  bf16 roughly
+# halves the HBM traffic of the bandwidth-bound grouped MLPs; normalization
+# statistics are always taken in f32.  Toggle with set_compute_dtype.
+_COMPUTE_DTYPE = None  # None = float32
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the activation dtype for MLP stacks (None or jnp.bfloat16)."""
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 def make_norm(norm: NormSpec):
     """Instantiate a norm layer from a reference-style spec dict.
@@ -59,10 +74,11 @@ class PointwiseConv(nn.Module):
             self.features,
             use_bias=self.norm is None,
             kernel_init=kaiming_normal,
+            dtype=_COMPUTE_DTYPE,
         )(x)
         norm_layer = make_norm(self.norm)
         if norm_layer is not None:
-            x = norm_layer(x)
+            x = norm_layer(x.astype(jnp.float32))
         if self.act:
             x = nn.relu(x)
         return x
