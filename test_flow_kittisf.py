@@ -35,8 +35,16 @@ def main():
     parser.add_argument("--split", type=str, default="train")
     parser.add_argument("--test_model_iters", type=int, default=4)
     parser.add_argument("--save", default=False, action="store_true")
+    parser.add_argument("--approx_knn", default=False,
+                        action="store_true",
+                        help="Use approximate neighbor search in "
+                             "evaluation (faster; default exact "
+                             "for metric parity)")
     args = parser.parse_args()
     load_config_into_args(args)
+    from ogc_tpu import ops as _ops
+
+    _ops.set_exact_neighbors(not args.approx_knn)
 
     flownet = FlowStep3D(
         npoint=args.flownet["npoint"],

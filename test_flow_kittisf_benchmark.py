@@ -45,8 +45,16 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str, help="Config file")
+    parser.add_argument("--approx_knn", default=False,
+                        action="store_true",
+                        help="Use approximate neighbor search in "
+                             "evaluation (faster; default exact "
+                             "for metric parity)")
     args = parser.parse_args()
     load_config_into_args(args)
+    from ogc_tpu import ops as _ops
+
+    _ops.set_exact_neighbors(not args.approx_knn)
 
     # Fixed seed matching the FlowStep3D protocol (reference :58-59).
     np.random.seed(18)

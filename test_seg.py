@@ -102,8 +102,16 @@ def main():
                         help="Only evaluate scenes with more objects than this")
     parser.add_argument("--save", default=False, action="store_true",
                         help="Save segmentation predictions")
+    parser.add_argument("--approx_knn", default=False,
+                        action="store_true",
+                        help="Use approximate neighbor search in "
+                             "evaluation (faster; default exact "
+                             "for metric parity)")
     args = parser.parse_args()
     load_config_into_args(args)
+    from ogc_tpu import ops as _ops
+
+    _ops.set_exact_neighbors(not args.approx_knn)
 
     segnet = MaskFormer3D(
         n_slot=args.segnet["n_slot"],

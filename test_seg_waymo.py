@@ -40,8 +40,16 @@ def main():
     parser.add_argument("--round", type=int, default=0)
     parser.add_argument("--test_batch_size", type=int, default=64)
     parser.add_argument("--save", default=False, action="store_true")
+    parser.add_argument("--approx_knn", default=False,
+                        action="store_true",
+                        help="Use approximate neighbor search in "
+                             "evaluation (faster; default exact "
+                             "for metric parity)")
     args = parser.parse_args()
     load_config_into_args(args)
+    from ogc_tpu import ops as _ops
+
+    _ops.set_exact_neighbors(not args.approx_knn)
 
     data_root = args.data["root"]
     mapping_path = (
