@@ -78,6 +78,11 @@ if __name__ == "__main__":
         pass
 
     from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    # bf16 activations for the bandwidth-bound grouped MLPs (params and all
+    # normalization statistics stay f32) — the standard TPU inference setup.
+    set_compute_dtype(jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     pc = jnp.asarray(30.0 * rng.rand(BATCH, N_POINTS, 3).astype(np.float32))

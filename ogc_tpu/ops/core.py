@@ -124,7 +124,13 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     """
     B, N, _ = xyz.shape
     # 4 VMEM-resident (B, N) f32 buffers; stay well under the ~16 MB VMEM.
-    if jax.default_backend() != "cpu" and B * N <= 1_000_000:
+    # N must be lane-aligned (Mosaic requires 128-multiples for the (B, N)
+    # vector ops in the kernel).
+    if (
+        jax.default_backend() != "cpu"
+        and B * N <= 1_000_000
+        and N % 128 == 0
+    ):
         from ogc_tpu.ops.pallas_kernels import furthest_point_sample_pallas
 
         return furthest_point_sample_pallas(xyz, npoint)

@@ -20,7 +20,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e30)
+# Plain Python float: creating a jnp scalar at import time would initialize
+# the JAX backend before CLIs get a chance to select the platform.
+_INF = 1e30
 
 
 def _solve_one(cost: jax.Array) -> jax.Array:
