@@ -141,10 +141,28 @@ def main():
     )
 
     if args.visualize:
-        raise SystemExit(
-            "Visualization requires open3d, not available in this build; "
-            "use --save and inspect predictions offline."
-        )
+        # Headless qualitative mode: GT vs prediction scatter PNGs per scene
+        # (the reference opens interactive Open3D windows, test_seg.py:125+).
+        from ogc_tpu.utils.visual import scatter_segm_png
+
+        vis_dir = "vis_seg"
+        os.makedirs(vis_dir, exist_ok=True)
+        fwd_v = jax.jit(lambda p, x: segnet.apply(p, x, x))
+        loader = DataLoader(test_set, batch_size=n_frame, shuffle=False,
+                            num_workers=2)
+        for i, batch in enumerate(loader):
+            if i >= 20:
+                break
+            pcs, segms, _, _ = batch
+            pc = pcs[:, 0]
+            segm = segms[:, 0]
+            mask = np.asarray(fwd_v(params, jnp.asarray(pc)))
+            pred = mask.argmax(2)
+            for t in range(pc.shape[0]):
+                scatter_segm_png(pc[t], segm[t], osp.join(vis_dir, f"{i:04d}_{t}_gt.png"))
+                scatter_segm_png(pc[t], pred[t], osp.join(vis_dir, f"{i:04d}_{t}_pred.png"))
+        print("Saved qualitative results to", vis_dir)
+        raise SystemExit(0)
 
     if args.save:
         save_dir = osp.join(data_root, "segm_preds/OGC" + "_R%d" % args.round)
