@@ -280,18 +280,20 @@ class FlowStep3D(nn.Module):
         )
         return feats
 
-    def _gru(self, h, x, pc, train, bnm):
+    def _gru(self, h, x, pc, train, bnm, group_idx=None):
         hx = jnp.concatenate([h, x], axis=-1)
         z = jax.nn.sigmoid(
-            self.gru_convz(pc, hx, train=train, bn_momentum=bnm)[1]
+            self.gru_convz(pc, hx, train=train, bn_momentum=bnm,
+                           group_idx=group_idx)[1]
         )
         r = jax.nn.sigmoid(
-            self.gru_convr(pc, hx, train=train, bn_momentum=bnm)[1]
+            self.gru_convr(pc, hx, train=train, bn_momentum=bnm,
+                           group_idx=group_idx)[1]
         )
         q = jnp.tanh(
             self.gru_convq(
                 pc, jnp.concatenate([r * h, x], axis=-1),
-                train=train, bn_momentum=bnm,
+                train=train, bn_momentum=bnm, group_idx=group_idx,
             )[1]
         )
         return (1 - z) * h + z * q
@@ -322,8 +324,20 @@ class FlowStep3D(nn.Module):
             pc1_l_glob, pc2_l_glob, f1g, f2g, train, bnm
         )
 
+        # One shared KNN table of the fixed 1/4-resolution cloud against
+        # itself: the regressors, H0Net, GRU gates, and flow convs all group
+        # this same cloud (with nsamples that are prefixes of the sorted
+        # neighbor list) — the reference recomputes the identical KNN dozens
+        # of times per forward.
+        a = self._arch()
+        lr_k = max(a.reg_nsample, a.flow_conv1.nsample, a.flow_conv2.nsample, 4)
+        from ogc_tpu import ops as _ops
+
+        _, lr_idx = _ops.knn(lr_k, pc1_l_loc[2], pc1_l_loc[2])
+
         _, x0, _ = self.flow0_sa(
-            pc1_l_loc[2], corr_feats, train=train, bn_momentum=bnm
+            pc1_l_loc[2], corr_feats, train=train, bn_momentum=bnm,
+            group_idx=lr_idx,
         )
         flow0_lr = self.flow0_fc(x0)
 
@@ -334,9 +348,11 @@ class FlowStep3D(nn.Module):
         flow_predictions.append(flow0)
 
         _, h, _ = self.h0_sa1(
-            pc1_l_loc[-1], feats1_loc, train=train, bn_momentum=bnm
+            pc1_l_loc[-1], feats1_loc, train=train, bn_momentum=bnm,
+            group_idx=lr_idx,
         )
-        _, h, _ = self.h0_sa2(pc1_l_loc[-1], h, train=train, bn_momentum=bnm)
+        _, h, _ = self.h0_sa2(pc1_l_loc[-1], h, train=train, bn_momentum=bnm,
+                              group_idx=lr_idx)
         h = jnp.tanh(h)
 
         sg = jax.lax.stop_gradient
@@ -357,21 +373,25 @@ class FlowStep3D(nn.Module):
 
             # x = [feats1_new, corr, flow_feats, flow]
             _, flow_feats, _ = self.flow_conv1(
-                pc1_l_loc[2], flow_lr, train=train, bn_momentum=bnm
+                pc1_l_loc[2], flow_lr, train=train, bn_momentum=bnm,
+                group_idx=lr_idx,
             )
             _, flow_feats, _ = self.flow_conv2(
-                pc1_l_loc[2], flow_feats, train=train, bn_momentum=bnm
+                pc1_l_loc[2], flow_feats, train=train, bn_momentum=bnm,
+                group_idx=lr_idx,
             )
             x = jnp.concatenate(
                 [feats1_loc_new, corr_feats, flow_feats, flow_lr], axis=-1
             )
-            h = self._gru(h, x, pc1_l_loc[-1], train, bnm)
+            h = self._gru(h, x, pc1_l_loc[-1], train, bnm, group_idx=lr_idx)
 
             _, dx, _ = self.flow_sa1(
-                pc1_l_loc[2], h, train=train, bn_momentum=bnm
+                pc1_l_loc[2], h, train=train, bn_momentum=bnm,
+                group_idx=lr_idx,
             )
             _, dx, _ = self.flow_sa2(
-                pc1_l_loc[2], dx, train=train, bn_momentum=bnm
+                pc1_l_loc[2], dx, train=train, bn_momentum=bnm,
+                group_idx=lr_idx,
             )
             delta_flow_lr = self.flow_fc(dx) / (self.k_decay_fact * it + 1)
             pc1_new_lr = pc1_new_lr + delta_flow_lr

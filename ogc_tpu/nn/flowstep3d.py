@@ -120,11 +120,25 @@ class FlowSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, fps_idx=None, train: bool = True,
-                 bn_momentum=0.1):
+                 bn_momentum=0.1, group_idx=None):
         """
         :param xyz: (B, N, 3); :param features: (B, N, C) or None.
+        :param group_idx: optional precomputed (B, N, >=nsample) KNN table of
+            xyz against itself (only valid on identity-npoint modules); the
+            first `nsample` columns are used, skipping the KNN search.
         :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx).
         """
+        if group_idx is not None:
+            assert self.npoint in (None, -1, xyz.shape[1])
+            grouped, _ = ops.group_with_idx(
+                xyz, xyz, group_idx[..., : self.nsample], features,
+                use_xyz=self.use_xyz,
+            )
+            h = _NormedConvStack(
+                tuple(self.mlp), self.use_instance_norm, self.use_act
+            )(grouped, train=train, bn_momentum=bn_momentum)
+            out = jnp.mean(h, axis=2) if self.mean_aggr else jnp.max(h, axis=2)
+            return xyz, out, fps_idx
         if (
             self.npoint is not None
             and self.npoint != -1

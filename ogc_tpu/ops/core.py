@@ -425,6 +425,32 @@ def query_and_group(
     return new_features, grouped_xyz
 
 
+def group_with_idx(
+    xyz: Array,
+    new_xyz: Array,
+    idx: Array,
+    features: Optional[Array] = None,
+    use_xyz: bool = True,
+) -> Tuple[Array, Array]:
+    """query_and_group with precomputed neighbor indices.
+
+    Lets callers share one KNN table across modules that group the SAME
+    cloud with the same (or prefix-sliced) neighborhood size — e.g. the
+    FlowStep3D GRU gates, regressors, and flow convs all group the fixed
+    1/4-resolution cloud every refinement iteration.
+    """
+    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feats = group(features, idx)
+        if use_xyz:
+            new_features = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        else:
+            new_features = grouped_feats
+    else:
+        new_features = grouped_xyz
+    return new_features, grouped_xyz
+
+
 def group_all(
     xyz: Array, features: Optional[Array] = None, use_xyz: bool = True
 ) -> Tuple[Array, Array]:
