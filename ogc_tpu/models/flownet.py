@@ -341,9 +341,12 @@ class FlowStep3D(nn.Module):
         )
         flow0_lr = self.flow0_fc(x0)
 
+        # The upsample stencil (full cloud <- 1/4-res cloud) is fixed across
+        # all refinement iterations — compute it once.
+        up_cache = FlowFPModule.weights(pc1_l_loc[0], pc1_l_loc[2])
         flow0 = self.flow_up_sample(
             pc1_l_loc[0], pc1_l_loc[2], None, flow0_lr, train=train,
-            bn_momentum=bnm,
+            bn_momentum=bnm, cached=up_cache,
         )
         flow_predictions.append(flow0)
 
@@ -398,7 +401,7 @@ class FlowStep3D(nn.Module):
 
             delta_flow = self.flow_up_sample(
                 pc1_l_loc[0], pc1_l_loc[2], None, delta_flow_lr,
-                train=train, bn_momentum=bnm,
+                train=train, bn_momentum=bnm, cached=up_cache,
             )
             pc1_new = pc1_new + delta_flow
             flow_predictions.append(pc1_new - pc1)

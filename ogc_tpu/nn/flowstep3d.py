@@ -182,18 +182,26 @@ class FlowFPModule(nn.Module):
     mlp: Sequence[int] = ()
     use_instance_norm: bool = False
 
-    @nn.compact
-    def __call__(self, pos1, pos2, feature1, feature2, train: bool = True,
-                 bn_momentum=0.1):
-        """
-        :param pos1: (B, N, 3) targets; :param pos2: (B, S, 3) sources.
-        :param feature1: (B, N, C1) or None; :param feature2: (B, S, C2).
-        :return: (B, N, C').
-        """
+    @staticmethod
+    def weights(pos1, pos2):
+        """Precompute the 3-NN inverse-distance stencil (pos1 <- pos2).
+        Callers upsampling between FIXED clouds every refinement iteration
+        (flow_up_sample, flownet_kitti.py:224/247) compute this once."""
         dist, idx = ops.three_nn(pos1, pos2)
         dist = jnp.maximum(dist, 1e-10)
         w = 1.0 / dist
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return idx, w / jnp.sum(w, axis=-1, keepdims=True)
+
+    @nn.compact
+    def __call__(self, pos1, pos2, feature1, feature2, train: bool = True,
+                 bn_momentum=0.1, cached=None):
+        """
+        :param pos1: (B, N, 3) targets; :param pos2: (B, S, 3) sources.
+        :param feature1: (B, N, C1) or None; :param feature2: (B, S, C2).
+        :param cached: optional (idx, weight) from FlowFPModule.weights.
+        :return: (B, N, C').
+        """
+        idx, w = cached if cached is not None else self.weights(pos1, pos2)
         interpolated = ops.three_interpolate(feature2, idx, w)
         if feature1 is not None:
             out = jnp.concatenate([interpolated, feature1], axis=-1)
