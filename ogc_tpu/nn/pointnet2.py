@@ -43,6 +43,11 @@ class SAModuleMSG(nn.Module):
         if self.npoint is not None:
             inds = ops.furthest_point_sample(xyz, self.npoint)
             new_xyz = ops.gather(xyz, inds)
+            # One KNN serves every scale: reference MSG scales share nsample
+            # and differ only in the clamp radius (segnet_sapien.py:28-33),
+            # and smaller nsamples are sorted prefixes of the larger.
+            k_max = max(self.nsamples)
+            dist, idx = ops.knn(k_max, new_xyz, xyz)
         else:
             inds = None
             new_xyz = None
@@ -50,8 +55,12 @@ class SAModuleMSG(nn.Module):
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             if self.npoint is not None:
-                grouped, _ = ops.query_and_group(
-                    radius, nsample, xyz, new_xyz, features, use_xyz=self.use_xyz
+                d = dist[..., :nsample]
+                i = idx[..., :nsample]
+                if radius is not None:
+                    i = jnp.where(d > radius, i[..., :1], i)
+                grouped, _ = ops.group_with_idx(
+                    xyz, new_xyz, i, features, use_xyz=self.use_xyz
                 )  # (B, M, S, 3+C)
             else:
                 grouped, _ = ops.group_all(xyz, features, use_xyz=self.use_xyz)
