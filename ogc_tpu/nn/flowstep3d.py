@@ -239,9 +239,10 @@ class FlowEmbedding(nn.Module):
         nearest = idx[..., :1]
         idx = jnp.where(dist > self.radius, nearest, idx)
 
-        pos2_grouped = ops.group(pos2, idx)  # (B, N, S, 3)
-        pos_diff = pos2_grouped - pos1[:, :, None, :]
-        feat2_grouped = ops.group(feature2, idx)  # (B, N, S, C)
+        # Fused single row-gather of [pos2, feature2].
+        g = ops.group(jnp.concatenate([pos2, feature2], axis=-1), idx)
+        pos_diff = g[..., :3] - pos1[:, :, None, :]
+        feat2_grouped = g[..., 3:]  # (B, N, S, C)
         feat1_rep = jnp.broadcast_to(
             feature1[:, :, None, :],
             feat2_grouped.shape[:3] + (feature1.shape[-1],),
