@@ -13,3 +13,10 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            # CPU executables serialize: share compiles across processes
+            # (e.g. the CLI test subprocesses).
+            jax.config.update("jax_compilation_cache_dir", "/tmp/ogc_jax_cache")
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )

@@ -17,3 +17,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: CPU executables serialize, so repeated graphs
+# (across tests AND across the CLI-subprocess tests) compile once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ogc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
