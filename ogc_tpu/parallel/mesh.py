@@ -44,6 +44,21 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_padded(mesh: Mesh, arrays: Sequence[Any], axis: str = "data"):
+    """Pad axis 0 to the next multiple of the mesh size (repeating the last
+    element), then shard.  Returns (sharded_tuple, true_b); callers slice
+    per-sample outputs back to ``true_b`` host-side.  This keeps full data
+    parallelism on a non-divisible final batch (the reference is single-
+    device and never faces one); the padded duplicates give that batch's
+    mean a slight duplicate weighting, bounded by (pad/true_b)."""
+    n_dev = mesh.devices.size
+    b = arrays[0].shape[0]
+    pad_to = -(-b // n_dev) * n_dev
+    if pad_to != b:
+        arrays = pad_batch(tuple(arrays), pad_to)
+    return tuple(shard_batch(mesh, a, axis) for a in arrays), b
+
+
 def pad_batch(batch: Any, target_b: int) -> Any:
     """Pad axis 0 to `target_b` by repeating the last element (shape
     stability for jit; callers slice host-side results back)."""

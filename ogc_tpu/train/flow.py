@@ -135,16 +135,13 @@ class FlowTrainer:
     # ------------------------------------------------------------------
 
     def _shard(self, *arrays):
-        n_dev = len(self.mesh.devices.reshape(-1))
-        if arrays[0].shape[0] % n_dev == 0:
-            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
-        return arrays
+        return pmesh.shard_padded(self.mesh, arrays)
 
     def train_it(self, it: int, batch) -> Dict[str, float]:
         pcs, _, flows, _ = batch
         pc1, pc2 = pcs[:, 0], pcs[:, 1]
         gt_flow = flows[:, 0]
-        pc1, pc2, gt_flow = self._shard(pc1, pc2, gt_flow)
+        (pc1, pc2, gt_flow), _ = self._shard(pc1, pc2, gt_flow)
         bnm = jnp.float32(self.bn_schedule(it))
         self.params, self.batch_stats, self.opt_state, ld = self._train_step(
             self.params, self.batch_stats, self.opt_state, pc1, pc2, gt_flow, bnm
@@ -153,19 +150,19 @@ class FlowTrainer:
 
     def eval_epoch(self, loader) -> Tuple[float, Dict[str, float]]:
         meter = AverageMeter()
-        total_loss, count = 0.0, 1.0
+        total_loss, count = 0.0, 0.0
         for batch in loader:
             pcs, _, flows, _ = batch
             pc1, pc2 = pcs[:, 0], pcs[:, 1]
             gt_flow = flows[:, 0]
-            pc1, pc2, gt_flow = self._shard(pc1, pc2, gt_flow)
+            (pc1, pc2, gt_flow), b = self._shard(pc1, pc2, gt_flow)
             loss, ld = self._eval_step(
                 self.params, self.batch_stats, pc1, pc2, gt_flow
             )
-            total_loss += float(loss)
-            count += 1
+            total_loss += float(loss) * b
+            count += b
             meter.append_loss({k: float(v) for k, v in ld.items()})
-        return total_loss / count, meter.get_mean_loss_dict()
+        return total_loss / max(count, 1.0), meter.get_mean_loss_dict()
 
     def train(self, n_epochs, train_loader, val_loader=None, progress=True):
         it = 0

@@ -154,10 +154,7 @@ class SegTrainer:
     # ------------------------------------------------------------------
 
     def _shard(self, *arrays):
-        n_dev = len(self.mesh.devices.reshape(-1))
-        if arrays[0].shape[0] % n_dev == 0:
-            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
-        return arrays
+        return pmesh.shard_padded(self.mesh, arrays)
 
     def train_it(self, it: int, batch, aug_transform: bool = False):
         pcs, segms, flows, _ = batch
@@ -165,20 +162,19 @@ class SegTrainer:
             pcs = pcs[:, :: self.frame_stride]
             segms = segms[:, :: self.frame_stride]
             flows = flows[:, :: self.frame_stride]
-        b = pcs.shape[0]
-        pcs_d, flows_d = self._shard(pcs, flows)
+        (pcs_d, flows_d), b = self._shard(pcs, flows)
         self.params, self.opt_state, ld, masks = self._train_step(
             self.params, self.opt_state, pcs_d, flows_d,
             jnp.int32(it * b), aug=aug_transform,
         )
         ld = {k: float(v) for k, v in ld.items()}
         segm = segms[:, 0]
-        mask = np.asarray(masks[:, 0])
+        mask = np.asarray(masks[:b, 0])
         return ld, segm, mask
 
     def eval_epoch(self, loader) -> Tuple[float, Dict[str, float], Dict[str, list]]:
         meter = AverageMeter()
-        total_loss, count = 0.0, 1.0
+        total_loss, count = 0.0, 0.0
         ap = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
         for batch in loader:
             pcs, segms, flows, _ = batch
@@ -186,19 +182,21 @@ class SegTrainer:
                 pcs = pcs[:, :: self.frame_stride]
                 segms = segms[:, :: self.frame_stride]
                 flows = flows[:, :: self.frame_stride]
-            pcs_d, flows_d = self._shard(pcs, flows)
+            (pcs_d, flows_d), b = self._shard(pcs, flows)
             loss, ld, masks = self._eval_step(self.params, pcs_d, flows_d)
-            total_loss += float(loss)
-            count += 1
+            # Weight each batch's mean loss by its true size so the epoch
+            # value is a per-sample average (was biased by a count=1 seed).
+            total_loss += float(loss) * b
+            count += b
             meter.append_loss({k: float(v) for k, v in ld.items()})
 
             iou, matched, _, n_gt = accumulate_eval_results(
-                segms[:, 0], np.asarray(masks[:, 0]), self.ignore_npoint_thresh
+                segms[:, 0], np.asarray(masks[:b, 0]), self.ignore_npoint_thresh
             )
             ap["Pred_IoU"].append(iou)
             ap["Pred_Matched"].append(matched)
             ap["N_GT_Inst"].append(n_gt)
-        return total_loss / count, meter.get_mean_loss_dict(), ap
+        return total_loss / max(count, 1.0), meter.get_mean_loss_dict(), ap
 
     def train(self, n_epochs, train_set, train_loader, test_loader=None,
               log_every: int = 1, progress: bool = True, start_epoch: int = 1):

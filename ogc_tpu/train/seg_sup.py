@@ -79,42 +79,39 @@ class SupSegTrainer:
         return loss, ld, mask
 
     def _shard(self, *arrays):
-        n_dev = len(self.mesh.devices.reshape(-1))
-        if arrays[0].shape[0] % n_dev == 0:
-            return tuple(pmesh.shard_batch(self.mesh, a) for a in arrays)
-        return arrays
+        return pmesh.shard_padded(self.mesh, arrays)
 
     def train_it(self, it, batch):
         pcs, segms, _, valids = batch
         pc, gt_mask, valid = pcs[:, 0], segms[:, 0], valids[:, 0]
-        pc, gt_mask, valid = self._shard(pc, gt_mask, valid)
+        (pc, gt_mask, valid), b = self._shard(pc, gt_mask, valid)
         self.params, self.opt_state, ld, mask = self._train_step(
             self.params, self.opt_state, pc, gt_mask, valid
         )
         ld = {k: float(v) for k, v in ld.items()}
-        segm = np.asarray(gt_mask).argmax(2)
-        return ld, segm, np.asarray(mask)
+        segm = np.asarray(gt_mask)[:b].argmax(2)
+        return ld, segm, np.asarray(mask)[:b]
 
     def eval_epoch(self, loader):
         meter = AverageMeter()
-        total_loss, count = 0.0, 1.0
+        total_loss, count = 0.0, 0.0
         ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
         for batch in loader:
             pcs, segms, _, valids = batch
             pc, gt_mask, valid = pcs[:, 0], segms[:, 0], valids[:, 0]
-            pc_d, gt_d, valid_d = self._shard(pc, gt_mask, valid)
+            (pc_d, gt_d, valid_d), b = self._shard(pc, gt_mask, valid)
             loss, ld, mask = self._eval_step(self.params, pc_d, gt_d, valid_d)
-            total_loss += float(loss)
-            count += 1
+            total_loss += float(loss) * b
+            count += b
             meter.append_loss({k: float(v) for k, v in ld.items()})
-            segm = np.asarray(gt_mask).argmax(2)
+            segm = np.asarray(gt_d)[:b].argmax(2)
             iou, matched, _, n_gt = accumulate_eval_results(
-                segm, np.asarray(mask), self.ignore_npoint_thresh
+                segm, np.asarray(mask)[:b], self.ignore_npoint_thresh
             )
             ap["Pred_IoU"].append(iou)
             ap["Pred_Matched"].append(matched)
             ap["N_GT_Inst"].append(n_gt)
-        return total_loss / count, meter.get_mean_loss_dict(), ap
+        return total_loss / max(count, 1.0), meter.get_mean_loss_dict(), ap
 
     def train(self, n_epochs, train_loader, test_loader=None, progress=True):
         it = 0

@@ -1,0 +1,83 @@
+"""Regression tests for data-parallel sharding on non-divisible batches and
+the eval-epoch loss weighting.
+
+Round-1 defects: _shard silently returned unsharded arrays when the batch
+wasn't divisible by the device count (losing data parallelism + forcing a
+recompile), and eval_epoch seeded count=1.0 (biasing the val loss used for
+best-checkpoint selection)."""
+
+import numpy as np
+import jax
+import pytest
+
+from ogc_tpu.losses.seg_unsup import OGCLossConfig
+from ogc_tpu.models.segnet import MaskFormer3D
+from ogc_tpu.parallel import mesh as pmesh
+from ogc_tpu.train.seg import SegTrainer, make_optimizer
+
+
+N_POINT, N_SLOT, T = 64, 4, 2
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    model = MaskFormer3D(
+        n_slot=N_SLOT, n_point=N_POINT, arch="sapien",
+        n_transformer_layer=1, transformer_embed_dim=64,
+    )
+    pc = jax.numpy.zeros((1, N_POINT, 3))
+    params = model.init(jax.random.PRNGKey(0), pc, pc)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    return SegTrainer(
+        model=model, params=params,
+        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0)),
+        optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 8),
+        aug_transform_epoch=9999, ignore_npoint_thresh=0,
+        exp_base=str(tmp_path_factory.mktemp("shard_exp")),
+        mesh=mesh,
+    )
+
+
+def _batch(b, seed=0):
+    rng = np.random.RandomState(seed)
+    pcs = rng.rand(b, T, N_POINT, 3).astype(np.float32)
+    flows = (0.05 * rng.randn(b, T, N_POINT, 3)).astype(np.float32)
+    segms = rng.randint(0, 2, size=(b, T, N_POINT)).astype(np.int32)
+    valids = np.ones((b, T, N_POINT), np.float32)
+    return pcs, segms, flows, valids
+
+
+def test_shard_pads_nondivisible_batch_to_8way(trainer):
+    pcs, _, flows, _ = _batch(12)
+    (pcs_d, flows_d), b = trainer._shard(pcs, flows)
+    assert b == 12
+    assert pcs_d.shape[0] == 16  # padded to next multiple of 8
+    assert len(pcs_d.sharding.device_set) == 8
+    assert len(flows_d.sharding.device_set) == 8
+    # Padding repeats the last sample.
+    np.testing.assert_array_equal(np.asarray(pcs_d[12:]), pcs[-1:].repeat(4, 0))
+
+
+def test_train_step_keeps_sharding_on_odd_batch(trainer):
+    batch = _batch(12)
+    ld, segm, mask = trainer.train_it(0, batch)
+    assert np.isfinite(ld["sum"])
+    assert segm.shape[0] == 12 and mask.shape[0] == 12  # sliced back
+
+
+def test_divisible_batch_not_padded(trainer):
+    pcs, _, flows, _ = _batch(16)
+    (pcs_d, _), b = trainer._shard(pcs, flows)
+    assert b == 16 and pcs_d.shape[0] == 16
+    assert len(pcs_d.sharding.device_set) == 8
+
+
+def test_eval_epoch_loss_is_per_sample_average(trainer):
+    batch = _batch(8, seed=1)
+    pcs, segms, flows, _ = batch
+    (pcs_d, flows_d), _ = trainer._shard(pcs, flows)
+    loss, _, _ = trainer._eval_step(trainer.params, pcs_d, flows_d)
+    # One batch: epoch loss must equal that batch's mean loss exactly
+    # (the old count=1.0 seed halved it).
+    val_loss, _, _ = trainer.eval_epoch([batch])
+    assert val_loss == pytest.approx(float(loss), rel=1e-6)
