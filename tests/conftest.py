@@ -18,6 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: CPU executables serialize, so repeated graphs
-# (across tests AND across the CLI-subprocess tests) compile once.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ogc_jax_cache")
+# (across tests AND across the CLI-subprocess tests) compile once. Keyed by
+# host CPU features — stale caches from another machine type risk SIGILL.
+from ogc_tpu.utils.platform import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
