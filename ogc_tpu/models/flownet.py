@@ -116,6 +116,10 @@ class FlowStep3D(nn.Module):
     loc_flow_nn: int = 8
     loc_flow_rad: float = 0.1
     k_decay_fact: float = 1.0
+    # Force the Python-unrolled refinement loop instead of nn.scan (debug /
+    # equivalence testing; the scanned path is the default — same math, one
+    # compiled step body).
+    unroll_refine: bool = False
 
     def _arch(self) -> FlowNetArch:
         return ARCHS[self.arch] if isinstance(self.arch, str) else self.arch
@@ -361,49 +365,99 @@ class FlowStep3D(nn.Module):
         sg = jax.lax.stop_gradient
         pc1_new = pc1 + sg(flow0)
         pc1_new_lr = pc1_l_loc[2] + sg(flow0_lr)
-        for it in range(iters - 1):
+        if iters <= 1:
+            return flow_predictions
+
+        def refine_step(mdl, carry, consts, it):
+            """One GRU refinement iteration (reference loop body,
+            flownet_kitti.py:231-250).  `it` is the traced step index used
+            only for the k_decay damping scalar."""
+            h, pc1_new, pc1_new_lr = carry
+            (pc1, pc1_lr, pc2_lr, feats2_loc, lr_idx, up_idx, up_w,
+             bnm) = consts
             pc1_new = sg(pc1_new)
             pc1_new_lr = sg(pc1_new_lr)
-            flow_lr = pc1_new_lr - pc1_l_loc[2]
+            flow_lr = pc1_new_lr - pc1_lr
 
-            pc1_new_l_loc, feats1_loc_new, _ = self._encode_loc(
+            pc1_new_l_loc, feats1_loc_new, _ = mdl._encode_loc(
                 pc1_new, pc1_new, fps_idx1, train=train, bnm=bnm
             )
-            _, corr_feats = self.local_corr_layer(
-                pc1_new_l_loc[-1], pc2_l_loc[-1], feats1_loc_new, feats2_loc,
+            _, corr_feats = mdl.local_corr_layer(
+                pc1_new_l_loc[-1], pc2_lr, feats1_loc_new, feats2_loc,
                 train=train, bn_momentum=bnm,
             )
 
             # x = [feats1_new, corr, flow_feats, flow]
-            _, flow_feats, _ = self.flow_conv1(
-                pc1_l_loc[2], flow_lr, train=train, bn_momentum=bnm,
+            _, flow_feats, _ = mdl.flow_conv1(
+                pc1_lr, flow_lr, train=train, bn_momentum=bnm,
                 group_idx=lr_idx,
             )
-            _, flow_feats, _ = self.flow_conv2(
-                pc1_l_loc[2], flow_feats, train=train, bn_momentum=bnm,
+            _, flow_feats, _ = mdl.flow_conv2(
+                pc1_lr, flow_feats, train=train, bn_momentum=bnm,
                 group_idx=lr_idx,
             )
             x = jnp.concatenate(
                 [feats1_loc_new, corr_feats, flow_feats, flow_lr], axis=-1
             )
-            h = self._gru(h, x, pc1_l_loc[-1], train, bnm, group_idx=lr_idx)
+            h = mdl._gru(h, x, pc1_lr, train, bnm, group_idx=lr_idx)
 
-            _, dx, _ = self.flow_sa1(
-                pc1_l_loc[2], h, train=train, bn_momentum=bnm,
-                group_idx=lr_idx,
+            _, dx, _ = mdl.flow_sa1(
+                pc1_lr, h, train=train, bn_momentum=bnm, group_idx=lr_idx,
             )
-            _, dx, _ = self.flow_sa2(
-                pc1_l_loc[2], dx, train=train, bn_momentum=bnm,
-                group_idx=lr_idx,
+            _, dx, _ = mdl.flow_sa2(
+                pc1_lr, dx, train=train, bn_momentum=bnm, group_idx=lr_idx,
             )
-            delta_flow_lr = self.flow_fc(dx) / (self.k_decay_fact * it + 1)
+            delta_flow_lr = mdl.flow_fc(dx) / (
+                mdl.k_decay_fact * it.astype(jnp.float32) + 1.0
+            )
             pc1_new_lr = pc1_new_lr + delta_flow_lr
 
-            delta_flow = self.flow_up_sample(
-                pc1_l_loc[0], pc1_l_loc[2], None, delta_flow_lr,
-                train=train, bn_momentum=bnm, cached=up_cache,
+            delta_flow = mdl.flow_up_sample(
+                pc1, pc1_lr, None, delta_flow_lr,
+                train=train, bn_momentum=bnm, cached=(up_idx, up_w),
             )
             pc1_new = pc1_new + delta_flow
-            flow_predictions.append(pc1_new - pc1)
+            return (h, pc1_new, pc1_new_lr), pc1_new - pc1
 
+        consts = (
+            pc1, pc1_l_loc[2], pc2_l_loc[-1], feats2_loc, lr_idx,
+            up_cache[0], up_cache[1], jnp.asarray(bnm, jnp.float32),
+        )
+        if self.is_initializing() or self.unroll_refine:
+            # Unrolled during init: the scan's carried batch_stats don't
+            # exist yet on the first pass; a direct call creates all
+            # step-body variables under the same scopes the scan broadcasts.
+            carry = (h, pc1_new, pc1_new_lr)
+            for i in range(iters - 1):
+                carry, flow = refine_step(
+                    self, carry, consts, jnp.int32(i)
+                )
+                flow_predictions.append(flow)
+            return flow_predictions
+
+        # Scanned rather than unrolled: XLA compiles the step body ONCE
+        # (the 5-iteration unroll dominated whole-model compile time), with
+        # identical per-step math.  Params are broadcast (weights shared
+        # across iterations, like the reference's single modules); BatchNorm
+        # running stats are carried sequentially, matching the unrolled
+        # update order.
+        # In train mode BatchNorm running stats are written every iteration:
+        # carry them sequentially (matching the unrolled update order).  In
+        # eval they are read-only -> broadcast (a carry that is never written
+        # would leave the output carry empty and break the scan contract).
+        scan_refine = nn.scan(
+            refine_step,
+            variable_broadcast=("params", "batch_stats") if not train
+            else "params",
+            variable_carry="batch_stats" if train else (),
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, 0),
+            out_axes=0,
+            length=iters - 1,
+        )
+        _, flows = scan_refine(
+            self, (h, pc1_new, pc1_new_lr), consts,
+            jnp.arange(iters - 1, dtype=jnp.int32),
+        )
+        flow_predictions.extend(flows[i] for i in range(iters - 1))
         return flow_predictions

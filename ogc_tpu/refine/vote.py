@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ogc_tpu.ops.core import square_distance
+from ogc_tpu.refine.streaming import softmax_corr_apply
 from ogc_tpu.utils.lap import linear_sum_assignment
 
 Array = jax.Array
@@ -85,18 +86,57 @@ def match_mask_by_cost(mask1: Array, mask2: Array, measure: str = "ce") -> Array
     return jnp.einsum("ij,nj->ni", perm, mask2)
 
 
-@functools.partial(jax.jit, static_argnames=("time_window_size",))
+def _apply_adjacent_corr(pc: Array, flows: Array, a: int, b: int, X: Array,
+                         temperature: float, tile: int) -> Array:
+    """Apply the adjacent softmax correspondence C_{a->b} to X (N, C).
+
+    b == a+1 uses the forward flow flows[a, 0]; b == a-1 the backward flow
+    flows[b, 1] (vote.py:41-48 builds exactly these two directions)."""
+    if b == a + 1:
+        q, p, fl = pc[a], pc[a + 1], flows[a, 0]
+    else:
+        assert b == a - 1
+        q, p, fl = pc[a], pc[a - 1], flows[a - 1, 1]
+    num, s0, _ = softmax_corr_apply(
+        (q + fl)[None], p[None], X[None], temperature, tile=tile
+    )
+    return (num / s0[..., None])[0]
+
+
+def warp_mask_chain(pc: Array, flows: Array, t: int, v: int, m: Array,
+                    temperature: float = 0.01, tile: int = 1024) -> Array:
+    """corrs[t_v] @ m without materializing any (N, N) matrix.
+
+    The dense path (vote.py:31-59) renormalizes each transitive product's
+    rows; since every factor is row-stochastic those row sums are
+    identically 1 and all intermediate normalizations telescope into one
+    final division — carried here as an extra ones column:
+        corrs[t_v] @ m = (C_t,.. @ ... @ [m, 1])[:, :K] / (...)[:, K:].
+    """
+    N, K = m.shape
+    X = jnp.concatenate([m, jnp.ones((N, 1), m.dtype)], axis=-1)
+    step = 1 if v > t else -1
+    # Innermost factor first: C_{v-step -> v}, ..., C_{t -> t+step}.
+    for a in range(v - step, t - step, -step):
+        X = _apply_adjacent_corr(pc, flows, a, a + step, X, temperature, tile)
+    return X[:, :K] / jnp.maximum(X[:, K:], 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("time_window_size", "tile"))
 def mask_voting(pc: Array, mask: Array, flows: Array,
-                time_window_size: int = 3) -> Array:
+                time_window_size: int = 3, tile: int = 1024) -> Array:
     """Aggregate per-frame masks by correspondence-warped voting
     (vote.py:94-131).
+
+    Blockwise: warped masks come from chained softmax-matvec applications
+    (peak memory (N, tile) per product) instead of the reference's dense
+    (N, N) correspondence matrices and transitive matmuls (vote.py:26-27).
 
     :param pc: (T, N, 3); :param mask: (T, N, K);
     :param flows: (T-1, 2, N, 3).
     :return: voted masks (T, N, K).
     """
     T = pc.shape[0]
-    corrs = collect_correspondences(pc, flows)
 
     voted = []
     for t in range(T):
@@ -107,10 +147,7 @@ def mask_voting(pc: Array, mask: Array, flows: Array,
             if v == t:
                 votes.append(mask[t])
             else:
-                warped = jnp.einsum(
-                    "mn,nk->mk", corrs[f"{t}_{v}"], mask[v],
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                warped = warp_mask_chain(pc, flows, t, v, mask[v], tile=tile)
                 votes.append(match_mask_by_cost(mask[t], warped))
         vote = jnp.mean(jnp.stack(votes, 0), axis=0)
         vote = vote / jnp.maximum(jnp.sum(vote, -1, keepdims=True), 1e-10)

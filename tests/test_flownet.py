@@ -82,3 +82,43 @@ def test_chamfer_zero_for_perfect_flow():
     flow = jnp.broadcast_to(shift, pc1.shape)
     assert float(chamfer_loss(pc1, pc2, flow)) < 1e-6
     assert float(chamfer_loss(pc1, pc2, jnp.zeros_like(flow))) > 0.1
+
+
+def test_scan_matches_unrolled(tiny_flownet):
+    """The nn.scan refinement loop must reproduce the unrolled loop.
+
+    Eval mode is compared at float-noise tolerance.  Train mode is compared
+    at the model's measured conditioning floor: with batch-stat
+    normalization at random init, the unrolled model itself amplifies a
+    1e-7 input perturbation to ~4e-4 at the first refinement output (and
+    chaotically beyond through neighbor-set flips), so train-mode scan vs
+    unrolled can only agree to that level — same math, different XLA
+    reduction order."""
+    model, variables, pc1, pc2 = tiny_flownet
+    model_unroll = FlowStep3D(npoint=64, arch="sapien", unroll_refine=True)
+
+    # Train mode, single refinement step: agree to the conditioning floor;
+    # updated batch stats agree tightly (they are means over large axes).
+    f_scan, v_scan = model.apply(
+        variables, pc1, pc2, pc1, pc2, 2, mutable=["batch_stats"]
+    )
+    f_unr, v_unr = model_unroll.apply(
+        variables, pc1, pc2, pc1, pc2, 2, mutable=["batch_stats"]
+    )
+    np.testing.assert_array_equal(np.asarray(f_scan[0]), np.asarray(f_unr[0]))
+    np.testing.assert_allclose(np.asarray(f_scan[1]), np.asarray(f_unr[1]),
+                               atol=5e-3)
+    stats_close = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-3, atol=1e-4),
+        v_scan["batch_stats"], v_unr["batch_stats"],
+    )
+    assert all(jax.tree_util.tree_leaves(stats_close))
+
+    # Eval mode (batch_stats broadcast in the scan): float-noise tolerance
+    # across all 3 predictions.
+    e_scan = model.apply(variables, pc1, pc2, pc1, pc2, 3, train=False)
+    e_unr = model_unroll.apply(variables, pc1, pc2, pc1, pc2, 3, train=False)
+    for a, b in zip(e_scan, e_unr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -101,3 +101,50 @@ def test_eval_flow_golden():
     np.testing.assert_allclose(acc_s, 0.25)
     np.testing.assert_allclose(acc_r, 0.5)
     np.testing.assert_allclose(outlier, 0.5)
+
+
+def test_ri_contingency_matches_pair_matrix_oracle():
+    """The O(N) contingency-table RI must equal the reference's O(N^2)
+    pair-matrix formulation exactly, with and without ignore handling."""
+    rng = np.random.RandomState(7)
+    B, N, K = 3, 200, 5
+    segm = rng.randint(0, K, size=(B, N))
+    mask = rng.rand(B, N, K).astype(np.float32)
+
+    def oracle(mask, gt_segm, ignore_mask=None, thresh=0):
+        pred = np.asarray(mask).argmax(-1)
+        k = max(int(pred.max()), int(gt_segm.max())) + 1
+        pred_oh = np.eye(k, dtype=np.float32)[pred]
+        gt_oh = np.eye(k, dtype=np.float32)[gt_segm]
+        valid = None
+        if ignore_mask is not None:
+            valid = ~ignore_mask.astype(bool)
+            gt_oh[~valid] = 0
+            pred_oh[~valid] = 0
+        elif thresh > 0:
+            size = gt_oh.sum(1, keepdims=True)
+            valid = (gt_oh * (size >= thresh)).sum(-1) > 0
+            gt_oh[~valid] = 0
+            pred_oh[~valid] = 0
+        ri_gt = np.einsum("bnk,bmk->bnm", gt_oh, gt_oh)
+        ri_pd = np.einsum("bnk,bmk->bnm", pred_oh, pred_oh)
+        agree = (ri_gt == ri_pd).astype(np.float64)
+        if valid is not None:
+            vp = valid.astype(np.float64)
+            vm = vp[:, :, None] * vp[:, None, :]
+            return (vm * agree).sum((1, 2)) / vm.sum((1, 2))
+        return agree.sum((1, 2)) / (gt_segm.shape[-1] ** 2)
+
+    got = clustering_metrics(mask, segm, spec=["ri"])["ri"]
+    np.testing.assert_allclose(got, oracle(mask, segm), rtol=1e-12)
+
+    got_t = clustering_metrics(mask, segm, spec=["ri"],
+                               ignore_npoint_thresh=30)["ri"]
+    np.testing.assert_allclose(got_t, oracle(mask, segm, thresh=30),
+                               rtol=1e-12)
+
+    ign = rng.rand(B, N) > 0.7
+    got_i = clustering_metrics(mask, segm, spec=["ri"],
+                               ignore_mask=ign)["ri"]
+    np.testing.assert_allclose(got_i, oracle(mask, segm, ignore_mask=ign),
+                               rtol=1e-12)

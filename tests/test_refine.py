@@ -84,3 +84,40 @@ def test_mask_voting_denoises():
     acc_before = (mask[1].argmax(-1) == segm).mean()
     acc_after = (voted[1].argmax(-1) == segm).mean()
     assert acc_after > acc_before
+
+
+def test_blockwise_oa_icp_matches_dense():
+    """The streaming (tile-chunked) OA-ICP must match the dense (N, N) path
+    to float tolerance (same math, different summation order)."""
+    rng = np.random.RandomState(3)
+    pc1, pc2, segm, flow = make_two_object_scene(rng, n=200)
+    mask = np.eye(2, dtype=np.float32)[segm][None]
+    noisy = flow[None] + 0.03 * rng.randn(1, *flow.shape).astype(np.float32)
+    args = (jnp.asarray(pc1[None]), jnp.asarray(pc2[None]),
+            jnp.asarray(noisy), jnp.asarray(mask), jnp.asarray(mask))
+    out_dense = np.asarray(object_aware_icp(*args, icp_iter=5, dense=True))
+    out_block = np.asarray(
+        object_aware_icp(*args, icp_iter=5, dense=False, tile=64)
+    )
+    np.testing.assert_allclose(out_block, out_dense, rtol=1e-4, atol=1e-5)
+
+
+def test_blockwise_vote_matches_dense_reference():
+    """warp_mask_chain (telescoped normalization, streaming matvecs) must
+    match the dense collect_correspondences transitive products."""
+    from ogc_tpu.refine.vote import collect_correspondences, warp_mask_chain
+
+    rng = np.random.RandomState(4)
+    T, N, K = 4, 96, 3
+    pc = jnp.asarray(rng.rand(T, N, 3).astype(np.float32))
+    flows = jnp.asarray(0.05 * rng.randn(T - 1, 2, N, 3).astype(np.float32))
+    mask = jnp.asarray(rng.dirichlet(np.ones(K), size=(T, N)).astype(np.float32))
+
+    corrs = collect_correspondences(pc, flows)
+    for t, v in [(0, 1), (1, 0), (0, 2), (3, 1), (0, 3)]:
+        dense = np.asarray(
+            jnp.einsum("mn,nk->mk", corrs[f"{t}_{v}"], mask[v])
+        )
+        block = np.asarray(warp_mask_chain(pc, flows, t, v, mask[v], tile=32))
+        np.testing.assert_allclose(block, dense, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"chain {t}->{v}")
