@@ -131,11 +131,16 @@ class DataLoader:
             return tuple(np.stack(f, 0) for f in zip(*items))
 
         def producer():
+            # Worker exceptions are forwarded to the consumer and re-raised
+            # there: a dataset error (e.g. a missing predflow file) must
+            # fail the epoch loudly, not silently yield an empty epoch.
             try:
                 for bi in batches:
                     if stop.is_set():
                         break
                     q.put(fetch(bi))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -146,6 +151,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -38,3 +38,27 @@ def test_drop_last(tmp_path):
                       num_workers=1)
     assert sum(b[0].shape[0] for b in keep) == 3
     assert sum(b[0].shape[0] for b in drop) == 2
+
+
+def test_loader_propagates_worker_exceptions():
+    """A dataset error inside a loader worker must fail the epoch loudly
+    (round-2 finding: a missing predflow file crashed the worker but the
+    epoch silently completed empty, feeding val loss 0.0 into
+    best-checkpoint selection)."""
+    import pytest
+    from ogc_tpu.data.base import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise FileNotFoundError("missing 000005.npy")
+            import numpy as np
+            return (np.zeros((2, 4, 3), np.float32),) * 4
+
+    loader = DataLoader(Broken(), batch_size=4, num_workers=2)
+    with pytest.raises(FileNotFoundError, match="000005"):
+        for _ in loader:
+            pass
