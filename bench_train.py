@@ -1,0 +1,182 @@
+"""Training-step benchmark: fused unsupervised seg train step, KITTI config.
+
+Measures the production SegTrainer._train_step (MaskFormer3D forward over
+both frames + full OGC loss incl. weighted Kabsch and in-graph Hungarian +
+backward + Adam update) at B=8, N=8192 — BASELINE.md configs 2/5 are full
+train_seg loops, which the forward-only bench.py does not cover.
+
+Prints one JSON line per measurement:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+plus a component breakdown (forward-only, per-loss-term fwd+bwd) on stderr.
+
+Timing methodology matches bench.py: steps are repeated inside one jit via
+lax.scan carrying (params, opt_state) — per-step wall time is amortized
+against a single scalar host read (the TPU relay makes block_until_ready
+unreliable as a barrier).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# Conservative estimate of the reference train_seg it/s on A100 at B=8,
+# N=8192 (fwd+bwd+step; the reference repo ships no numbers - BASELINE.md).
+REFERENCE_A100_TRAIN_SCENES_PER_SEC = 25.0
+
+BATCH = 8
+N_POINTS = 8192
+T_FRAMES = 2
+WARMUP = 2
+ITERS = 3
+REPS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+
+    from ogc_tpu.losses.seg_unsup import OGCLossConfig, ogc_loss
+    from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.nn.layers import set_compute_dtype
+    from ogc_tpu.parallel import mesh as pmesh
+    from ogc_tpu.train.seg import SegTrainer, make_optimizer
+
+    set_compute_dtype(jnp.bfloat16)
+
+    # KITTI-SF protocol (config/seg/kittisf/kittisf_unsup.yaml).
+    loss_cfg = OGCLossConfig(
+        weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
+        smooth_w_knn=3.0, smooth_w_ball_q=1.0,
+        knn_k=32, knn_radius=1.0, ball_q_k=64, ball_q_radius=2.0,
+    )
+    model = MaskFormer3D(
+        n_slot=10, n_point=N_POINTS, arch="kitti",
+        n_transformer_layer=2, transformer_embed_dim=128,
+    )
+    rng = np.random.RandomState(0)
+    pc0 = jnp.zeros((1, N_POINTS, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), pc0, pc0)
+    optimizer = make_optimizer(1e-3, 0.7, 1e-5, 200000, BATCH)
+    trainer = SegTrainer(
+        model=model, params=params, loss_cfg=loss_cfg, optimizer=optimizer,
+        aug_transform_epoch=9999, ignore_npoint_thresh=50,
+        exp_base="/tmp/ogc_bench_train",
+        mesh=pmesh.make_mesh(jax.devices()[:1]),
+    )
+
+    pcs = jnp.asarray(
+        30.0 * rng.rand(BATCH, T_FRAMES, N_POINTS, 3).astype(np.float32)
+    )
+    flows = jnp.asarray(
+        0.5 * rng.randn(BATCH, T_FRAMES, N_POINTS, 3).astype(np.float32)
+    )
+
+    def timed_scan(step_fn):
+        def repeated(params, opt_state, pcs, flows):
+            def body(carry, _):
+                p, o = carry
+                p, o, ld = step_fn(p, o, pcs, flows)
+                return (p, o), ld
+
+            (_, _), lds = jax.lax.scan(
+                body, (params, opt_state), None, length=REPS
+            )
+            return lds[-1]
+
+        jitted = jax.jit(repeated)
+
+        def run(*args):
+            t0 = time.perf_counter()
+            float(jitted(*args))
+            compile_s = time.perf_counter() - t0
+            for _ in range(WARMUP - 1):
+                float(jitted(*args))
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                float(jitted(*args))
+            return (time.perf_counter() - t0) / (ITERS * REPS), compile_s
+
+        return run
+
+    def full_step(p, o, pcs, flows):
+        p, o, ld, _ = trainer._train_step_impl(
+            p, o, pcs, flows, jnp.int32(10**6), False
+        )
+        return p, o, ld["sum"]
+
+    t_step, compile_s = timed_scan(full_step)(
+        trainer.params, trainer.opt_state, pcs, flows
+    )
+    scenes_per_sec = BATCH / t_step
+    print(
+        json.dumps(
+            {
+                "metric": "kittisf_train_step_scenes_per_sec_per_chip",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/s",
+                "vs_baseline": round(
+                    scenes_per_sec / REFERENCE_A100_TRAIN_SCENES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+    print(f"# train step: {t_step*1e3:.1f} ms/batch, compile {compile_s:.0f}s",
+          file=sys.stderr)
+
+    # ---- component breakdown (each term fwd+bwd in isolation) -----------
+    import functools
+
+    def loss_only(weights, p, o, pcs, flows):
+        cfg = OGCLossConfig(
+            weights=weights, start_steps=(0, 0, 0),
+            smooth_w_knn=loss_cfg.smooth_w_knn,
+            smooth_w_ball_q=loss_cfg.smooth_w_ball_q,
+            knn_k=loss_cfg.knn_k, knn_radius=loss_cfg.knn_radius,
+            ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
+        )
+
+        def f(params):
+            B, T = pcs.shape[:2]
+            flat = pcs.reshape(B * T, N_POINTS, 3)
+            masks = model.apply(params, flat, flat).reshape(B, T, N_POINTS, -1)
+            loss, _ = ogc_loss(
+                [pcs[:, t] for t in range(T)],
+                [masks[:, t] for t in range(T)],
+                [flows[:, t] for t in range(T)],
+                cfg, step_w=False, it=0, aug_transform=False,
+            )
+            return loss
+
+        g = jax.grad(f)(p)
+        return p, o, jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)), g, jnp.float32(0)
+        )
+
+    for name, w in [
+        ("fwd+bwd dynamic(Kabsch) only", (10.0, 0.0, 0.0)),
+        ("fwd+bwd smooth(knn32+bq64) only", (0.0, 0.1, 0.0)),
+    ]:
+        t, _ = timed_scan(functools.partial(loss_only, w))(
+            trainer.params, trainer.opt_state, pcs, flows
+        )
+        print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)
+
+    def fwd_only(p, o, pcs, flows):
+        B, T = pcs.shape[:2]
+        flat = pcs.reshape(B * T, N_POINTS, 3)
+        masks = model.apply(p, flat, flat)
+        return p, o, jnp.sum(masks.astype(jnp.float32))
+
+    t, _ = timed_scan(fwd_only)(trainer.params, trainer.opt_state, pcs, flows)
+    print(f"# fwd only (2 frames): {t*1e3:.1f} ms/batch", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

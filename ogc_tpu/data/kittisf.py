@@ -55,14 +55,30 @@ class KITTISceneFlowDataset(PairFrameDataset):
     def _load_item(self, idx, view_sel):
         data_path = osp.join(self.data_root, self.data_ids[idx])
         v1, v2 = view_sel
-        pc1 = np.load(osp.join(data_path, "pc%d.npy" % (v1 + 1)))
-        pc2 = np.load(osp.join(data_path, "pc%d.npy" % (v2 + 1)))
         if self.downsampled:
+            # All six (N, 3)/(N,) arrays of an item in one native threaded
+            # read (ogc_tpu/native/loader.cpp pread pool); falls back to
+            # np.load when shapes are inhomogeneous or the lib is absent.
+            from ogc_tpu.native.npy import read_npy_batch
+
+            try:
+                xyz = read_npy_batch([
+                    osp.join(data_path, "pc%d.npy" % (v1 + 1)),
+                    osp.join(data_path, "pc%d.npy" % (v2 + 1)),
+                    osp.join(data_path, "flow%d.npy" % (v1 + 1)),
+                    osp.join(data_path, "flow%d.npy" % (v2 + 1)),
+                ])
+                pc1, pc2, flow1, flow2 = xyz
+            except (ValueError, OSError):
+                pc1 = np.load(osp.join(data_path, "pc%d.npy" % (v1 + 1)))
+                pc2 = np.load(osp.join(data_path, "pc%d.npy" % (v2 + 1)))
+                flow1 = np.load(osp.join(data_path, "flow%d.npy" % (v1 + 1)))
+                flow2 = np.load(osp.join(data_path, "flow%d.npy" % (v2 + 1)))
             segm1 = np.load(osp.join(data_path, "segm%d.npy" % (v1 + 1)))
             segm2 = np.load(osp.join(data_path, "segm%d.npy" % (v2 + 1)))
-            flow1 = np.load(osp.join(data_path, "flow%d.npy" % (v1 + 1)))
-            flow2 = np.load(osp.join(data_path, "flow%d.npy" % (v2 + 1)))
         else:
+            pc1 = np.load(osp.join(data_path, "pc%d.npy" % (v1 + 1)))
+            pc2 = np.load(osp.join(data_path, "pc%d.npy" % (v2 + 1)))
             segm = np.load(osp.join(data_path, "segm.npy"))
             segm1, segm2 = segm, segm
             flow1, flow2 = pc2 - pc1, pc1 - pc2

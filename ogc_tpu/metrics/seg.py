@@ -274,15 +274,30 @@ def clustering_metrics(
     if "iou" in spec:
         union = gt_oh.sum(1)[:, :, None] + pred_oh.sum(1)[:, None, :] - inter
         iou = inter / (union + 1e-8)
-        all_ious = []
+        # Hungarian mIoU over the whole batch in one native threaded LAP
+        # call (ogc_tpu/native/lap.cpp; scipy fallback inside).  Each
+        # scene's rectangular (n_real, K) profit matrix is zero-padded to
+        # (K, K): dummy rows absorb leftover columns at zero profit, so the
+        # real rows' assignment value — and hence the mean — equals the
+        # rectangular optimum scipy computes (optimal value is unique even
+        # when the argmax assignment is not).
+        from ogc_tpu.native import lap_solve_batch
+
+        lap_costs = np.zeros((B, k, k), np.float32)
+        n_reals = []
         for b, n_gt in enumerate(n_gt_segms):
             conf = iou[b, :n_gt, :]
             if ignore_mask is None and ignore_npoint_thresh > 0:
                 nonsmall_b = (gt_oh[b].sum(0) >= ignore_npoint_thresh)[:n_gt]
                 conf = conf[nonsmall_b]
-            row, col = linear_sum_assignment(conf, maximize=True)
-            all_ious.append(float(np.mean(conf[row, col])) if len(row) else 0.0)
-        out["iou"] = all_ious
+            n_reals.append(conf.shape[0])
+            lap_costs[b, : conf.shape[0]] = conf
+        cols = lap_solve_batch(lap_costs, maximize=True)
+        out["iou"] = [
+            float(np.mean(lap_costs[b, np.arange(nr), cols[b, :nr]]))
+            if nr else 0.0
+            for b, nr in enumerate(n_reals)
+        ]
 
     if "ri" in spec:
         # Rand Index over ordered point pairs (diagonal included), via the

@@ -125,15 +125,14 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     B, N, _ = xyz.shape
     # 4 VMEM-resident (B, N) f32 buffers; stay well under the ~16 MB VMEM.
     # N must be lane-aligned (Mosaic requires 128-multiples for the (B, N)
-    # vector ops in the kernel).
-    if (
-        jax.default_backend() != "cpu"
-        and B * N <= 1_000_000
-        and N % 128 == 0
-    ):
-        from ogc_tpu.ops.pallas_kernels import furthest_point_sample_pallas
+    # vector ops in the kernel).  Batches whose B*N exceeds the VMEM budget
+    # are processed in sequential batch chunks (fleet batch sizes like
+    # B=128 x N=8192 stay on the kernel instead of silently falling back
+    # to the 10-16x slower XLA loop).
+    if jax.default_backend() != "cpu" and N % 128 == 0:
+        from ogc_tpu.ops.pallas_kernels import fps_pallas_chunked
 
-        return furthest_point_sample_pallas(xyz, npoint)
+        return fps_pallas_chunked(xyz, npoint)
     return _furthest_point_sample_xla(xyz, npoint)
 
 
@@ -269,6 +268,20 @@ def knn(
     if recall_target is None:
         recall_target = _RECALL_LARGE_K if k >= 8 else _RECALL_SMALL_K
     B, N, _ = query.shape
+    M = points.shape[-2]
+    if (
+        not exact
+        and jax.default_backend() == "tpu"
+        and M >= 1024
+        and -(-M // 4) >= k  # enough block winners even at blk=4
+    ):
+        # Fused Pallas kernel: distance tiles + block-min thinning +
+        # in-VMEM k-extraction; never materializes the (B, N, M) matrix.
+        # Measured 2.8-3.8x over the XLA materialize+approx_max_k path at
+        # the model's hot shapes with >= target recall (BENCHLOG r2).
+        from ogc_tpu.ops.pallas_knn import knn_blockmin
+
+        return knn_blockmin(k, query, points, recall_target=recall_target)
     if N <= chunk:
         d2, idx = _knn_chunk(query, points, k, exact, recall_target)
         return jnp.sqrt(d2), idx
@@ -342,10 +355,10 @@ def upsample_feat(pc: Array, pc_sub: Array, feat_sub: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def ball_query(
     radius: float, nsample: int, xyz: Array, new_xyz: Array,
-    exact: Optional[bool] = None,
+    exact: Optional[bool] = None, chunk: int = 2048,
 ) -> Array:
     """Fixed-size in-radius neighbor lists.
 
@@ -359,7 +372,21 @@ def ball_query(
     (d2 < r2) taken in ascending index order; if fewer than `nsample`, the
     remaining slots repeat the FIRST in-radius point; if the ball is empty the
     row is all zeros.
+
+    Centers are processed in chunks: the transient distance tile is
+    (B, chunk, N), never (B, M, N) — at 8192^2 the full tile is 2.1 GB/frame
+    and OOMs the fused train step (smooth loss, ball_q_k=64).
     """
+    B, M, _ = new_xyz.shape
+    if M > chunk:
+        n_chunks = -(-M // chunk)
+        pad = n_chunks * chunk - M
+        c = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
+        c = c.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
+        idx = jax.lax.map(
+            lambda cc: ball_query(radius, nsample, xyz, cc, exact, chunk), c
+        )
+        return idx.transpose(1, 0, 2, 3).reshape(B, n_chunks * chunk, -1)[:, :M]
     B, N, _ = xyz.shape
     d2 = square_distance(new_xyz, xyz)  # (B, M, N)
     inside = d2 < radius * radius

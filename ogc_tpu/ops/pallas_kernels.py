@@ -52,6 +52,37 @@ def _fps_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
     jax.lax.fori_loop(1, npoint, body, jnp.zeros((B,), dtype=jnp.int32))
 
 
+#: Max B*N elements held as 4 VMEM-resident (B, N) f32 buffers; 1e6 puts
+#: the kernel body also makes ~3 (B, N) temporaries (one-hot select, d2,
+#: min), all counted against the 16 MB scoped stack - measured 20.46M at
+#: B*N=880k, so the budget is ~400k.
+_VMEM_ELEMS = 400_000
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fps_pallas_chunked(
+    xyz: jax.Array, npoint: int, interpret: bool = False
+) -> jax.Array:
+    """FPS at any batch size: sequential kernel launches over batch chunks.
+
+    The kernel keeps 4 (B, N) f32 buffers VMEM-resident, which bounds a
+    single launch to B*N <= ~0.9e6; fleet batches (e.g. B=128, N=8192) are
+    split into ceil(B / chunk) launches.  Bitwise identical to the
+    single-launch kernel (batches are independent).
+    """
+    B, N, _ = xyz.shape
+    chunk = max(1, _VMEM_ELEMS // N)
+    if B <= chunk:
+        return furthest_point_sample_pallas(xyz, npoint, interpret)
+    outs = [
+        furthest_point_sample_pallas(
+            xyz[i : min(i + chunk, B)], npoint, interpret
+        )
+        for i in range(0, B, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def furthest_point_sample_pallas(
     xyz: jax.Array, npoint: int, interpret: bool = False

@@ -32,23 +32,27 @@ def test_round_alternation(tmp_path):
     from ogc_tpu.data.sapien import SapienDataset
 
     view_sels = [[0, 1], [1, 0], [1, 2], [2, 1], [2, 3], [3, 2]]
-    seed_set = SapienDataset(
-        osp.join(root, "mbs-shapepart"), split="train", view_sels=view_sels
-    )
     pf_dir = osp.join(root, "mbs-shapepart", "flow_preds", "flowstep3d")
     os.makedirs(pf_dir, exist_ok=True)
     with open(pf_dir + ".json", "w") as f:
         json.dump({"view_sel": view_sels}, f)
-    for sid in range(0, len(seed_set), len(view_sels)):
-        flows = []
-        for k in range(len(view_sels)):
-            _, _, fl, _ = seed_set[sid + k]
-            flows.append(fl[0])
-        seed_set._save_predflow(
-            np.stack(flows, 0), save_root=pf_dir,
-            batch_size=len(view_sels), n_frame=len(view_sels),
-            offset=sid // len(view_sels),
+    # Seed BOTH splits (train_seg's val loader reads predflows too; the
+    # loader now fails loudly on missing files instead of silently
+    # yielding an empty epoch).
+    for split in ("train", "val"):
+        seed_set = SapienDataset(
+            osp.join(root, "mbs-shapepart"), split=split, view_sels=view_sels
         )
+        for sid in range(0, len(seed_set), len(view_sels)):
+            flows = []
+            for k in range(len(view_sels)):
+                _, _, fl, _ = seed_set[sid + k]
+                flows.append(fl[0])
+            seed_set._save_predflow(
+                np.stack(flows, 0), save_root=pf_dir,
+                batch_size=len(view_sels), n_frame=len(view_sels),
+                offset=sid // len(view_sels),
+            )
 
     cfg = {
         "dataset": "sapien",
@@ -93,9 +97,13 @@ def test_round_alternation(tmp_path):
     assert osp.exists(cfg["save_path"] + "_R1/best.ckpt")
 
     # OA-ICP: refine flows with the round-1 segmentation, save _R1 flows.
+    # Both splits, like the reference protocol (README.md:220, run per
+    # ${SPLIT}) — round-2 training reads R1 flows for train AND val.
     r = run("oa_icp.py", cfg_path, "--split", "train", "--round", "1",
             "--test_batch_size", "6", "--save")
     assert "Object-Aware ICP flow" in r.stdout
+    run("oa_icp.py", cfg_path, "--split", "val", "--round", "1",
+        "--test_batch_size", "6", "--save")
     r1_dir = osp.join(root, "mbs-shapepart", "flow_preds", "flowstep3d_R1")
     assert osp.exists(r1_dir + ".json")
     assert len(os.listdir(r1_dir)) > 0

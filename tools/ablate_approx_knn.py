@@ -1,0 +1,139 @@
+"""Quantify the approximate-neighbor deviation (VERDICT r1 #6).
+
+Trains two short unsupervised seg runs on synthetic rigid scenes — one with
+exact neighbor search, one with the approximate default (flash-KNN at these
+sizes) — and evaluates every (train mode x eval mode) combination.  The
+deltas bound the accuracy cost of the framework's one deliberate semantics
+deviation.
+
+Run ON TPU (the approximate path lowers to exact on CPU):
+    python tools/ablate_approx_knn.py [--epochs 12] [--n_points 2048]
+Prints a markdown table for PARITY.md.
+"""
+
+import argparse
+import os.path as osp
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=12)
+    parser.add_argument("--n_points", type=int, default=2048)
+    parser.add_argument("--n_scenes", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu import ops
+    from ogc_tpu.data.base import DataLoader
+    from ogc_tpu.data.sapien import SapienDataset
+    from ogc_tpu.losses.seg_unsup import OGCLossConfig
+    from ogc_tpu.metrics.seg import (
+        accumulate_eval_results,
+        calculate_PQ_F1,
+        clustering_metrics,
+    )
+    from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.parallel import mesh as pmesh
+    from ogc_tpu.train.seg import SegTrainer, make_optimizer
+    from tests.synth import make_sapien_root
+
+    root = make_sapien_root(
+        osp.join(tempfile.mkdtemp(prefix="ablate_"), "mbs-shapepart"),
+        n_scenes=args.n_scenes, n_views=4, n_points=args.n_points,
+        n_parts=3, seed=args.seed,
+    )
+    train_set = SapienDataset(root, split="train",
+                              view_sels=[[0, 1], [1, 2], [2, 3]])
+    test_set = SapienDataset(root, split="test", view_sels=[[0, 1]])
+
+    def make_model():
+        return MaskFormer3D(
+            n_slot=8, n_point=args.n_points, arch="ogcdr",
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+
+    def train_one(exact: bool):
+        ops.set_exact_neighbors(exact)
+        model = make_model()
+        pc0 = jnp.zeros((1, args.n_points, 3))
+        params = model.init(jax.random.PRNGKey(args.seed), pc0, pc0)
+        trainer = SegTrainer(
+            model=model, params=params,
+            loss_cfg=OGCLossConfig(
+                weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0),
+                knn_k=8, knn_radius=0.05, ball_q_k=16, ball_q_radius=0.1,
+            ),
+            optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 4),
+            aug_transform_epoch=9999, ignore_npoint_thresh=0,
+            exp_base=tempfile.mkdtemp(prefix="ablate_ckpt_"),
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+        )
+        loader = DataLoader(train_set, batch_size=4, shuffle=True,
+                            seed=args.seed, drop_last=True, num_workers=2)
+        it = 0
+        for epoch in range(args.epochs):
+            for batch in loader:
+                ld, _, _ = trainer.train_it(it, batch)
+                it += 1
+            print(f"  [{'exact' if exact else 'approx'}] epoch {epoch + 1}: "
+                  f"loss={ld['sum']:.4f}", file=sys.stderr, flush=True)
+        return trainer
+
+    def evaluate(trainer, exact: bool):
+        ops.set_exact_neighbors(exact)
+        model = trainer.model
+
+        @jax.jit
+        def fwd(params, pc):
+            return model.apply(params, pc, pc)
+
+        ap = {"iou": [], "matched": [], "ngt": []}
+        mious, ris = [], []
+        loader = DataLoader(test_set, batch_size=4, shuffle=False,
+                            num_workers=2)
+        for pcs, segms, _, _ in loader:
+            mask = np.asarray(fwd(trainer.params, jnp.asarray(pcs[:, 0])))
+            iou, matched, _, ngt = accumulate_eval_results(
+                segms[:, 0], mask, 0
+            )
+            ap["iou"].append(iou)
+            ap["matched"].append(matched)
+            ap["ngt"].append(ngt)
+            cm = clustering_metrics(mask, segms[:, 0], spec=["iou", "ri"])
+            mious += cm["iou"]
+            ris += cm["ri"]
+        pq, f1, _, _ = calculate_PQ_F1(
+            np.concatenate(ap["iou"]), np.concatenate(ap["matched"]),
+            int(np.sum(ap["ngt"])),
+        )
+        return {"PQ@50": pq, "F1@50": f1,
+                "mIoU": float(np.mean(mious)), "RI": float(np.mean(ris))}
+
+    results = {}
+    for train_exact in (True, False):
+        trainer = train_one(train_exact)
+        for eval_exact in (True, False):
+            key = (("exact" if train_exact else "approx"),
+                   ("exact" if eval_exact else "approx"))
+            results[key] = evaluate(trainer, eval_exact)
+            print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
+
+    print("\n| train \\ eval | PQ@50 | F1@50 | mIoU | RI |")
+    print("|---|---|---|---|---|")
+    for key, r in results.items():
+        print(f"| {key[0]} / {key[1]} | {r['PQ@50']:.4f} | {r['F1@50']:.4f} "
+              f"| {r['mIoU']:.4f} | {r['RI']:.4f} |")
+
+
+if __name__ == "__main__":
+    main()
