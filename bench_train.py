@@ -130,10 +130,12 @@ def main():
     print(f"# train step: {t_step*1e3:.1f} ms/batch, compile {compile_s:.0f}s",
           file=sys.stderr)
 
-    # ---- component breakdown (each term fwd+bwd in isolation) -----------
-    import functools
-
-    def loss_only(weights, p, o, pcs, flows):
+    # ---- component breakdown ---------------------------------------------
+    # Each variant is a REAL optimizer step with some loss weights zeroed:
+    # a variant that leaves params unchanged is loop-invariant inside the
+    # timing scan and XLA hoists it (one compute amortized over REPS),
+    # silently dividing the measurement by REPS.
+    def ablated_step(weights):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -141,41 +143,30 @@ def main():
             knn_k=loss_cfg.knn_k, knn_radius=loss_cfg.knn_radius,
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
         )
-
-        def f(params):
-            B, T = pcs.shape[:2]
-            flat = pcs.reshape(B * T, N_POINTS, 3)
-            masks = model.apply(params, flat, flat).reshape(B, T, N_POINTS, -1)
-            loss, _ = ogc_loss(
-                [pcs[:, t] for t in range(T)],
-                [masks[:, t] for t in range(T)],
-                [flows[:, t] for t in range(T)],
-                cfg, step_w=False, it=0, aug_transform=False,
-            )
-            return loss
-
-        g = jax.grad(f)(p)
-        return p, o, jax.tree_util.tree_reduce(
-            lambda a, b: a + jnp.sum(jnp.abs(b)), g, jnp.float32(0)
+        tr = SegTrainer(
+            model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
+            aug_transform_epoch=9999, ignore_npoint_thresh=50,
+            exp_base="/tmp/ogc_bench_train",
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
         )
 
+        def step(p, o, pcs, flows):
+            p, o, ld, _ = tr._train_step_impl(
+                p, o, pcs, flows, jnp.int32(10**6), False
+            )
+            return p, o, ld["sum"]
+
+        return step
+
     for name, w in [
-        ("fwd+bwd dynamic(Kabsch) only", (10.0, 0.0, 0.0)),
-        ("fwd+bwd smooth(knn32+bq64) only", (0.0, 0.1, 0.0)),
+        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0)),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0)),
+        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0)),
     ]:
-        t, _ = timed_scan(functools.partial(loss_only, w))(
+        t, _ = timed_scan(ablated_step(w))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)
-
-    def fwd_only(p, o, pcs, flows):
-        B, T = pcs.shape[:2]
-        flat = pcs.reshape(B * T, N_POINTS, 3)
-        masks = model.apply(p, flat, flat)
-        return p, o, jnp.sum(masks.astype(jnp.float32))
-
-    t, _ = timed_scan(fwd_only)(trainer.params, trainer.opt_state, pcs, flows)
-    print(f"# fwd only (2 frames): {t*1e3:.1f} ms/batch", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -142,8 +142,12 @@ class MaskFormer3D(nn.Module):
         slot = PointwiseConv(64, norm=None, act=False, name="object_mlp1")(slot)
 
         # Cosine-similarity mask with temperature 0.05
-        # (segnet_sapien.py:77-80).
-        feats_n = l_feats[0] / jnp.linalg.norm(l_feats[0], axis=-1, keepdims=True).clip(1e-12)
+        # (segnet_sapien.py:77-80).  Head math in f32 regardless of the
+        # compute dtype: the mask is the model's contract with losses and
+        # metrics (temperature-0.05 softmax is precision-sensitive).
+        feats0 = l_feats[0].astype(jnp.float32)
+        slot = slot.astype(jnp.float32)
+        feats_n = feats0 / jnp.linalg.norm(feats0, axis=-1, keepdims=True).clip(1e-12)
         slot_n = slot / jnp.linalg.norm(slot, axis=-1, keepdims=True).clip(1e-12)
         logits = jnp.einsum(
             "bnd,bkd->bnk", feats_n, slot_n,

@@ -43,17 +43,24 @@ class SchedulableBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            # Stats always in f32 (bf16 mean/var accumulation is too lossy).
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
-                m = jnp.asarray(momentum, x.dtype)
+                m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 # torch updates running_var with the unbiased batch variance.
                 n = x.size // features
                 unbiased = var * n / max(n - 1, 1)
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        # Normalize in the input dtype: with bf16 compute this keeps the
+        # full activation tensor out of f32 HBM roundtrips.
+        dt = x.dtype
+        y = (x - mean.astype(dt)) * jax.lax.rsqrt(
+            var + self.epsilon
+        ).astype(dt)
+        return y * scale.astype(dt) + bias.astype(dt)
 
 
 class InstanceNorm(nn.Module):
@@ -68,10 +75,12 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
         axes = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        xf = x.astype(jnp.float32)  # stats in f32
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        dt = x.dtype
+        y = (x - mean.astype(dt)) * jax.lax.rsqrt(var + self.epsilon).astype(dt)
+        return y * scale.astype(dt) + bias.astype(dt)
 
 
 class _NormedConvStack(nn.Module):
@@ -89,7 +98,8 @@ class _NormedConvStack(nn.Module):
         for c in self.mlp:
             x = nn.Dense(c, use_bias=False, dtype=compute_dtype())(x)
             if self.use_act:
-                x = x.astype(jnp.float32)
+                # Norms run in the compute dtype (stats in f32 inside): no
+                # per-layer f32 materialization of the grouped tensors.
                 if self.use_instance_norm:
                     x = InstanceNorm()(x)
                 else:

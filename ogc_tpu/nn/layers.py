@@ -47,12 +47,19 @@ def make_norm(norm: NormSpec):
         return None
     cls = norm["class"]
     if cls == "GroupNorm":
-        return nn.GroupNorm(num_groups=norm["num_groups"], epsilon=1e-5)
+        # dtype follows the compute dtype (bf16 keeps the normalized
+        # activations out of f32 HBM roundtrips); flax computes the
+        # mean/var reductions in f32 regardless.
+        return nn.GroupNorm(
+            num_groups=norm["num_groups"], epsilon=1e-5,
+            dtype=_COMPUTE_DTYPE,
+        )
     if cls == "BatchNorm":
         return nn.BatchNorm(
             use_running_average=norm.get("use_running_average", False),
             momentum=norm.get("momentum", 0.9),
             epsilon=1e-5,
+            dtype=_COMPUTE_DTYPE,
         )
     raise KeyError(f"Unrecognized norm class: {cls}")
 
@@ -78,7 +85,9 @@ class PointwiseConv(nn.Module):
         )(x)
         norm_layer = make_norm(self.norm)
         if norm_layer is not None:
-            x = norm_layer(x.astype(jnp.float32))
+            # The norm's own dtype mirrors the compute dtype (stats in f32
+            # internally); no f32 upcast of the full activation tensor.
+            x = norm_layer(x)
         if self.act:
             x = nn.relu(x)
         return x

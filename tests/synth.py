@@ -84,3 +84,33 @@ def make_ogcdr_root(root, n_scenes=3, n_views=4, n_points=96, n_objects=3, seed=
         with open(osp.join(data_dir, split + ".lst"), "w") as f:
             f.write("\n".join(ids))
     return root
+
+
+def make_kittisf_root(base, n_scenes=4, n_points=256, seed=0):
+    """Write a tiny downsampled-KITTI-SF-format dataset plus split files.
+
+    Layout (reference data_prepare/kittisf): data/<id>/{pc1,pc2,flow1,flow2,
+    segm1,segm2}.npy; mapping files list ids one per line.
+    :return: (data_root, train_mapping_path, val_mapping_path).
+    """
+    rng = np.random.RandomState(seed)
+    ids = ["%06d" % i for i in range(n_scenes)]
+    for i in ids:
+        d = osp.join(base, "data", i)
+        os.makedirs(d, exist_ok=True)
+        pc1 = (20 * rng.rand(n_points, 3)).astype(np.float32)
+        flow1 = (0.3 * rng.randn(n_points, 3)).astype(np.float32)
+        np.save(osp.join(d, "pc1.npy"), pc1)
+        np.save(osp.join(d, "pc2.npy"), pc1 + flow1)
+        np.save(osp.join(d, "flow1.npy"), flow1)
+        np.save(osp.join(d, "flow2.npy"), -flow1)
+        np.save(osp.join(d, "segm1.npy"), rng.randint(0, 3, n_points))
+        np.save(osp.join(d, "segm2.npy"), rng.randint(0, 3, n_points))
+    os.makedirs(osp.join(base, "splits"), exist_ok=True)
+    train_map = osp.join(base, "splits", "train.txt")
+    val_map = osp.join(base, "splits", "val.txt")
+    with open(train_map, "w") as f:
+        f.write("\n".join(ids[:-1]))
+    with open(val_map, "w") as f:
+        f.write(ids[-1])
+    return base, train_map, val_map

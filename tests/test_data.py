@@ -91,3 +91,24 @@ def test_save_predflow_roundtrip(sapien_root, tmp_path):
     ds._save_predflow(flow, str(tmp_path), batch_size=2, n_frame=2, offset=0)
     saved = np.load(tmp_path / "000000.npy")
     np.testing.assert_allclose(saved, flow)
+
+
+def test_kittisf_dataset_loads(tmp_path):
+    """KITTI-SF downsampled layout end-to-end incl. the native npy batch
+    loader path (round-2 gap: no kittisf fixture existed)."""
+    from ogc_tpu.data.kittisf import KITTISceneFlowDataset
+    from tests.synth import make_kittisf_root
+
+    root, train_map, _ = make_kittisf_root(str(tmp_path / "ksf"))
+    ds = KITTISceneFlowDataset(
+        data_root=root, mapping_path=train_map, downsampled=True,
+        view_sels=[[0, 1], [1, 0]], decentralize=True,
+    )
+    assert len(ds) == 6  # 3 train scenes x 2 view pairs
+    pcs, segms, flows, valids = ds[0]
+    assert pcs.shape == (2, 256, 3) and flows.shape == (2, 256, 3)
+    assert np.isfinite(pcs).all() and np.isfinite(flows).all()
+    # forward/backward flow symmetry of the fixture survives the pipeline
+    np.testing.assert_allclose(flows[0], -flows[1], atol=1e-6)
+    # decentralize removed the global mean
+    assert abs(pcs.mean()) < 1.0
