@@ -378,6 +378,23 @@ def ball_query(
     and OOMs the fused train step (smooth loss, ball_q_k=64).
     """
     B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
+    if exact is None:
+        exact = _EXACT_DEFAULT
+    if (
+        not exact
+        and jax.default_backend() == "tpu"
+        and N >= 1024
+        and -(-N // 4) >= nsample
+    ):
+        # Fused kernel, ball mode: per-block lowest in-radius index +
+        # in-VMEM extraction — no (B, M, N) distance tile at all
+        # (the ball_query op alone measured 35 ms/frame in the smooth
+        # loss before this, BENCHLOG r2).
+        from ogc_tpu.ops.pallas_knn import ball_query_blockmin
+
+        cand = ball_query_blockmin(radius, nsample, xyz, new_xyz)
+        return _fill_balls(cand, nsample)
     if M > chunk:
         n_chunks = -(-M // chunk)
         pad = n_chunks * chunk - M
@@ -387,7 +404,6 @@ def ball_query(
             lambda cc: ball_query(radius, nsample, xyz, cc, exact, chunk), c
         )
         return idx.transpose(1, 0, 2, 3).reshape(B, n_chunks * chunk, -1)[:, :M]
-    B, N, _ = xyz.shape
     d2 = square_distance(new_xyz, xyz)  # (B, M, N)
     inside = d2 < radius * radius
 
@@ -396,8 +412,6 @@ def ball_query(
     # so that top_k(-key) yields in-radius indices in ascending order first.
     key = jnp.where(inside, point_ids, N + point_ids)
     k_eff = min(nsample, N)
-    if exact is None:
-        exact = _EXACT_DEFAULT
     if exact:
         neg_key, _ = jax.lax.top_k(-key.astype(jnp.int32), k_eff)
     else:
@@ -412,7 +426,20 @@ def ball_query(
     if k_eff < nsample:  # fewer points than slots: pad with invalid sentinel
         cand = jnp.pad(cand, ((0, 0), (0, 0), (0, nsample - k_eff)),
                        constant_values=2 * N)
-    is_valid = cand < N
+    return _fill_balls(cand, nsample, n_valid_below=N)
+
+
+def _fill_balls(cand: Array, nsample: int,
+                n_valid_below: Optional[int] = None) -> Array:
+    """Reference ball padding: slots beyond the in-radius count repeat the
+    FIRST in-radius index; empty balls are all zeros
+    (ball_query_gpu.cu:34-43).  `cand` is ascending with invalid entries
+    strictly larger than every valid index."""
+    if n_valid_below is None:
+        from ogc_tpu.ops.pallas_knn import _BALL_INVALID
+
+        n_valid_below = _BALL_INVALID
+    is_valid = cand < n_valid_below
     count = jnp.sum(is_valid, axis=-1, keepdims=True)  # (B, M, 1)
     first = cand[..., :1]  # first in-radius key (or N+... if empty)
 

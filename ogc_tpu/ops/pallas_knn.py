@@ -43,11 +43,21 @@ _TM = 1024   # candidate tile per inner step (sublanes); 2048 overflows
              # scoped VMEM at blk=4 (d2 + iota + where temporaries)
 
 
-def _knn_kernel(k, blk, idx_bits, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
-                keys_scr):
+_BALL_INVALID = 2**30  # sentinel key: no in-radius point in the block
+
+
+def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, q_ref, p_ref, dist_ref,
+                idx_ref, keys_scr):
     """q_ref (1, 3, QT); p_ref (1, Mp, 3); outs (1, k, QT) — candidates on
     SUBLANES (Mosaic supports sublane-group reshapes/reductions; lane-dim
-    splits are 'unsupported shape cast')."""
+    splits are 'unsupported shape cast').
+
+    Two key modes:
+      ball_r2 is None — KNN: key = (d2_bits & ~mask) | argmin-in-block.
+      ball_r2 set     — ball query: key = lowest in-radius (d2 < r^2)
+        candidate index in the block, _BALL_INVALID if none.  The k
+        extractions then yield the nsample lowest-index in-radius points
+        (the reference's index-order filling, ball_query_gpu.cu:9-45)."""
     qx = q_ref[0, 0:1, :]            # (1, QT) rows
     qy = q_ref[0, 1:2, :]
     qz = q_ref[0, 2:3, :]
@@ -66,14 +76,21 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
 
         g = _TM // blk
         d3 = d2.reshape(g, blk, d2.shape[1])
-        vmin = jnp.min(d3, axis=1)   # (g, QT)
         ids = (
             jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + mt * _TM
         ).reshape(g, blk, d2.shape[1])
-        amin = jnp.min(
-            jnp.where(d3 == vmin[:, None, :], ids, jnp.int32(2**30)), axis=1
-        )                            # (g, QT)
-        keys = (pltpu.bitcast(vmin, jnp.int32) & ~mask_low) | amin
+        if ball_r2 is None:
+            vmin = jnp.min(d3, axis=1)   # (g, QT)
+            amin = jnp.min(
+                jnp.where(d3 == vmin[:, None, :], ids,
+                          jnp.int32(_BALL_INVALID)), axis=1
+            )                            # (g, QT)
+            keys = (pltpu.bitcast(vmin, jnp.int32) & ~mask_low) | amin
+        else:
+            keys = jnp.min(
+                jnp.where(d3 < ball_r2, ids, jnp.int32(_BALL_INVALID)),
+                axis=1,
+            )
         keys_scr[pl.ds(mt * g, g), :] = keys
         return 0
 
@@ -87,15 +104,20 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
         # walks the exact sorted order without any scatter/removal.
         nxt = jnp.min(jnp.where(keys <= last, big, keys), axis=0,
                       keepdims=True)                       # (1, QT)
-        idx_ref[0, i, :] = (nxt & mask_low)[0]
-        d2_sel = pltpu.bitcast(nxt & ~mask_low, jnp.float32)
-        dist_ref[0, i, :] = jnp.sqrt(jnp.maximum(d2_sel, 0.0))[0]
+        if ball_r2 is None:
+            idx_ref[0, i, :] = (nxt & mask_low)[0]
+            d2_sel = pltpu.bitcast(nxt & ~mask_low, jnp.float32)
+            dist_ref[0, i, :] = jnp.sqrt(jnp.maximum(d2_sel, 0.0))[0]
+        else:
+            idx_ref[0, i, :] = nxt[0]
+            dist_ref[0, i, :] = jnp.zeros_like(nxt[0], jnp.float32)
         last = nxt
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
-                interpret: bool = False) -> Tuple[Array, Array]:
+                interpret: bool = False,
+                ball_r2: float | None = None) -> Tuple[Array, Array]:
     """:param query_t: (B, 3, Np) — Np multiple of _QT.
     :param points: (B, Mp, 3) — Mp multiple of _TM.
     :return: (dist (B, k, Np) f32, idx (B, k, Np) int32) — note the
@@ -105,7 +127,7 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
     g_total = Mp // blk
     idx_bits = max(1, (Mp - 1).bit_length())
     kernel = functools.partial(
-        _knn_kernel, k, blk, idx_bits, Mp // _TM
+        _knn_kernel, k, blk, idx_bits, Mp // _TM, ball_r2
     )
     return pl.pallas_call(
         kernel,
@@ -179,3 +201,55 @@ def knn_blockmin(
     dist = jnp.swapaxes(dist, 1, 2)[:, :N]
     idx = jnp.swapaxes(idx, 1, 2)[:, :N]
     return dist, idx
+
+
+def ball_query_blockmin(
+    radius: float,
+    nsample: int,
+    xyz: Array,
+    new_xyz: Array,
+    recall_target: float = 0.95,
+    blk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Ball query via the fused kernel's ball mode (see _knn_kernel).
+
+    :param xyz: (B, M, 3) points; :param new_xyz: (B, N, 3) centers.
+    :return: candidate keys (B, N, nsample) int32, ascending by index —
+        in-radius candidate indices, >= _BALL_INVALID past the in-radius
+        count.  Callers apply the reference padding (first-point repeat /
+        zero rows) — ops.core.ball_query does.
+
+    Deviation (approximate mode only): block-min thinning keeps ONE
+    in-radius index per `blk` candidates, so crowded balls are filled with
+    a block-STRATIFIED subsample instead of the reference's first
+    `nsample` consecutive indices (extreme case: all-inside returns
+    0, blk, 2*blk, ...).  The first slot is always the true lowest
+    in-radius index, every member is genuinely in radius, and point order
+    after FPS downsampling is spatially random — so for the smoothness
+    losses (the only consumers) this is statistically equivalent sampling
+    of the ball.  Eval CLIs default to exact=True which bypasses this
+    path entirely; the exact-vs-approx ablation quantifies the end-to-end
+    effect.
+    """
+    B, N, _ = new_xyz.shape
+    M = xyz.shape[1]
+    if blk is None:
+        blk = pick_block(M, nsample, recall_target)
+    while blk > 4 and -(-M // blk) < nsample:
+        blk //= 2
+    assert -(-M // blk) >= nsample, (M, blk, nsample)
+
+    mp = -(-M // _TM) * _TM
+    np_ = -(-N // _QT) * _QT
+    p = xyz.astype(jnp.float32)
+    if mp != M:
+        p = jnp.pad(p, ((0, 0), (0, mp - M), (0, 0)), constant_values=1e6)
+    q_t = jnp.swapaxes(new_xyz, 1, 2).astype(jnp.float32)
+    if np_ != N:
+        q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
+
+    _, idx = _knn_pallas(
+        q_t, p, nsample, blk, interpret, ball_r2=float(radius) * float(radius)
+    )
+    return jnp.swapaxes(idx, 1, 2)[:, :N]

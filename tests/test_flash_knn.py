@@ -84,3 +84,53 @@ def test_pick_block_bounds():
     assert pick_block(4096, 32) == 8
     assert pick_block(8192, 1) == 32
     assert pick_block(8192, 3, 0.99) == 32
+
+
+def test_ball_mode_invariants():
+    """Ball-mode kernel: structural parity with the exact ball query —
+    empty balls zero, first slot = lowest in-radius index, padding repeats
+    the first index, all indices in range and in-radius."""
+    from ogc_tpu.ops.core import _fill_balls
+    from ogc_tpu.ops.pallas_knn import ball_query_blockmin
+
+    rng = np.random.RandomState(0)
+    B, N, M, k, r = 2, 1500, 600, 16, 0.15
+    xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    ctr = jnp.asarray(rng.rand(B, M, 3).astype(np.float32))
+    cand = ball_query_blockmin(r, k, xyz, ctr, blk=4, interpret=True)
+    got = np.asarray(_fill_balls(cand, k))
+
+    d2 = np.asarray(ops.square_distance(ctr, xyz))
+    inside = d2 < r * r
+    cnt = inside.sum(-1)
+    assert (got[cnt == 0] == 0).all()
+    first_true = np.where(inside, np.arange(N)[None, None], N).min(-1)
+    nonempty = cnt > 0
+    np.testing.assert_array_equal(got[nonempty][:, 0], first_true[nonempty])
+    # Every returned index is genuinely in radius (for non-empty balls).
+    bb, mm = np.nonzero(nonempty)
+    sel = inside[bb[:, None], mm[:, None], got[nonempty]]
+    assert sel.all()
+    # Padded slots repeat the first index when fewer than k inside.
+    few = (cnt > 0) & (cnt < k)
+    rows = got[few]
+    counts = np.minimum(cnt[few], k)
+    for row, c in zip(rows, counts):
+        assert (row[c:] == row[0]).all()
+
+
+def test_ball_mode_crowded_is_block_stratified():
+    """Documented deviation: an all-inside ball returns one index per
+    block (0, blk, 2*blk, ...), not the reference's first consecutive
+    nsample — codified so a change in this behavior is noticed."""
+    from ogc_tpu.ops.core import _fill_balls
+    from ogc_tpu.ops.pallas_knn import ball_query_blockmin
+
+    rng = np.random.RandomState(1)
+    xyz = jnp.asarray(rng.rand(1, 1100, 3).astype(np.float32))
+    ctr = xyz[:, :8]
+    cand = ball_query_blockmin(100.0, 8, xyz, ctr, blk=8, interpret=True)
+    got = np.asarray(_fill_balls(cand, 8))
+    np.testing.assert_array_equal(
+        got, np.broadcast_to(np.arange(8) * 8, (1, 8, 8))
+    )
