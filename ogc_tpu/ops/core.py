@@ -240,7 +240,6 @@ def _knn_chunk(
     return -neg, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def knn(
     k: int,
     query: Array,
@@ -262,11 +261,29 @@ def knn(
     Reference: pointnet2/pointnet2.py:81-109 (sqrt at :103),
     src/interpolate_gpu.cu:9-57.  Queries are processed in chunks so the
     transient (B, chunk, M) distance tile stays memory-bounded at N=M=8192.
+
+    The None defaults MUST resolve outside the jitted body: a jit caches by
+    the static argument VALUES, so resolving `exact=None` inside would pin
+    whatever _EXACT_DEFAULT was at first trace and silently ignore later
+    set_exact_neighbors() flips (found by the exact-vs-approx ablation
+    producing four identical cells).
     """
     if exact is None:
         exact = _EXACT_DEFAULT
     if recall_target is None:
         recall_target = _RECALL_LARGE_K if k >= 8 else _RECALL_SMALL_K
+    return _knn_jit(k, query, points, chunk, exact, recall_target)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _knn_jit(
+    k: int,
+    query: Array,
+    points: Array,
+    chunk: int,
+    exact: bool,
+    recall_target: float,
+) -> Tuple[Array, Array]:
     B, N, _ = query.shape
     M = points.shape[-2]
     if (
@@ -355,7 +372,6 @@ def upsample_feat(pc: Array, pc_sub: Array, feat_sub: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def ball_query(
     radius: float, nsample: int, xyz: Array, new_xyz: Array,
     exact: Optional[bool] = None, chunk: int = 2048,
@@ -376,11 +392,22 @@ def ball_query(
     Centers are processed in chunks: the transient distance tile is
     (B, chunk, N), never (B, M, N) — at 8192^2 the full tile is 2.1 GB/frame
     and OOMs the fused train step (smooth loss, ball_q_k=64).
+
+    `exact=None` resolves here, OUTSIDE the jit (see knn: resolving inside
+    pins the first trace's mode in the jit cache).
     """
-    B, M, _ = new_xyz.shape
-    N = xyz.shape[1]
     if exact is None:
         exact = _EXACT_DEFAULT
+    return _ball_query_jit(radius, nsample, xyz, new_xyz, exact, chunk)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+def _ball_query_jit(
+    radius: float, nsample: int, xyz: Array, new_xyz: Array,
+    exact: bool, chunk: int,
+) -> Array:
+    B, M, _ = new_xyz.shape
+    N = xyz.shape[1]
     if (
         not exact
         and jax.default_backend() == "tpu"
@@ -401,7 +428,7 @@ def ball_query(
         c = jnp.pad(new_xyz, ((0, 0), (0, pad), (0, 0)))
         c = c.reshape(B, n_chunks, chunk, 3).transpose(1, 0, 2, 3)
         idx = jax.lax.map(
-            lambda cc: ball_query(radius, nsample, xyz, cc, exact, chunk), c
+            lambda cc: _ball_query_jit(radius, nsample, xyz, cc, exact, chunk), c
         )
         return idx.transpose(1, 0, 2, 3).reshape(B, n_chunks * chunk, -1)[:, :M]
     d2 = square_distance(new_xyz, xyz)  # (B, M, N)

@@ -199,3 +199,31 @@ def test_fps_chunked_matches_single_launch(monkeypatch):
     np.testing.assert_array_equal(chunked, single)
     xla = np.asarray(ops.furthest_point_sample(xyz, 32))
     np.testing.assert_array_equal(chunked, xla)
+
+
+def test_exact_toggle_not_pinned_by_jit_cache():
+    """set_exact_neighbors flips must take effect after a prior call with
+    the other mode (regression: resolving exact=None inside the jitted body
+    pinned the first trace's mode in the cache — the exact-vs-approx
+    ablation produced four identical cells)."""
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    p = jnp.asarray(rng.rand(1, 128, 3).astype(np.float32))
+    try:
+        ops.set_exact_neighbors(True)
+        d_e, _ = ops.knn(4, q, p)
+        ops.set_exact_neighbors(False)
+        d_a, _ = ops.knn(4, q, p)
+    finally:
+        ops.set_exact_neighbors(False)
+    # The two calls must have traced DIFFERENT computations; on CPU the
+    # approximate path lowers to exact, so compare the compiled paths via
+    # the module default resolution instead: the jit caches must have two
+    # distinct entries (one per resolved mode).
+    assert _distinct_knn_traces() >= 2
+
+
+def _distinct_knn_traces():
+    from ogc_tpu.ops.core import _knn_jit
+
+    return _knn_jit._cache_size()
