@@ -135,13 +135,14 @@ def main():
     # a variant that leaves params unchanged is loop-invariant inside the
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
-    def ablated_step(weights):
+    def ablated_step(weights, symmetric=False):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
             smooth_w_ball_q=loss_cfg.smooth_w_ball_q,
             knn_k=loss_cfg.knn_k, knn_radius=loss_cfg.knn_radius,
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
+            symmetric_smooth_grad=symmetric,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -158,12 +159,13 @@ def main():
 
         return step
 
-    for name, w in [
-        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0)),
-        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0)),
-        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0)),
+    for name, w, sym in [
+        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False),
+        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0), False),
+        ("full w/ symmetric_smooth_grad", (10.0, 0.1, 0.1), True),
     ]:
-        t, _ = timed_scan(ablated_step(w))(
+        t, _ = timed_scan(ablated_step(w, sym))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

@@ -12,6 +12,7 @@ N x K SVD.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -102,6 +103,52 @@ def dynamic_loss(pc: Array, mask: Array, flow: Array, loss_norm: int = 2) -> Arr
     return jnp.mean(resid)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sym_grad_discrepancy(mask: Array, idx: Array, loss_norm: int) -> Array:
+    """Neighbor discrepancy with a SYMMETRIC-graph gradient (opt-in).
+
+    Forward is identical to the autodiff path: mean_{i,s} ||m_i - m_{j(i,s)}||.
+    Backward assumes the neighbor relation is symmetric (j in N(i) <=> i in
+    N(j)), under which the scatter-add transpose of the neighbor gather
+    equals the gather itself and grad_q = 2/(BNS) sum_s d||.||(m_q - m_js) —
+    NO scatter.  The knn / truncated-ball graphs are only approximately
+    symmetric, so this changes the regularizer's gradient slightly; it is
+    gated by OGCLossConfig.symmetric_smooth_grad (default False) and
+    justified by the training ablation in PARITY.md.  Motivation: the
+    scatter-add floor is ~17 ns/row — 104 ms of the 510 ms train step
+    (BENCHLOG r2).
+    """
+    nn_mask = ops.group(mask, idx)
+    diff = mask[:, :, None, :] - nn_mask
+    if loss_norm == 1:
+        per = jnp.sum(jnp.abs(diff), axis=-1)
+    else:
+        per = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+    return jnp.mean(per)
+
+
+def _sym_grad_fwd(mask, idx, loss_norm):
+    return _sym_grad_discrepancy(mask, idx, loss_norm), (mask, idx)
+
+
+def _sym_grad_bwd(loss_norm, res, g):
+    mask, idx = res
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))
+    diff = mask[:, :, None, :] - nn_mask
+    if loss_norm == 1:
+        d = jnp.sign(diff)
+    else:
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                                    1e-24))
+        d = diff / norm
+    B, N, S, _ = diff.shape
+    grad = (2.0 * g / (B * N * S)) * jnp.sum(d, axis=2)
+    return grad, None
+
+
+_sym_grad_discrepancy.defvjp(_sym_grad_fwd, _sym_grad_bwd)
+
+
 def _neighbor_discrepancy(
     mask: Array, nn_mask: Array, cross_entropy: bool, loss_norm: int
 ) -> Array:
@@ -126,24 +173,31 @@ def _neighbor_discrepancy(
 def knn_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
+    symmetric_grad: bool = False,
 ) -> Array:
     """KNN smoothness with radius clamp (reference KnnLoss,
     losses/seg_loss_unsup.py:101-129)."""
     dist, idx = ops.knn(k, pc, pc)
     nearest = idx[..., :1]
     idx = jnp.where(dist > radius, nearest, idx)
-    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))  # (B, N, k, K)
+    idx = jax.lax.stop_gradient(idx)
+    if symmetric_grad and not cross_entropy:
+        return _sym_grad_discrepancy(mask, idx, loss_norm)
+    nn_mask = ops.group(mask, idx)  # (B, N, k, K)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
 
 def ball_q_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
+    symmetric_grad: bool = False,
 ) -> Array:
     """Ball-query smoothness (reference BallQLoss,
     losses/seg_loss_unsup.py:132-158)."""
-    idx = ops.ball_query(radius, k, pc, pc)
-    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))
+    idx = jax.lax.stop_gradient(ops.ball_query(radius, k, pc, pc))
+    if symmetric_grad and not cross_entropy:
+        return _sym_grad_discrepancy(mask, idx, loss_norm)
+    nn_mask = ops.group(mask, idx)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
 
@@ -265,6 +319,9 @@ class OGCLossConfig:
     ball_q_loss_norm: int = 1
     invariance_loss_norm: int = 2
     cross_entropy: bool = False
+    # Scatter-free smooth-loss backward assuming a symmetric neighbor graph
+    # (see _sym_grad_discrepancy); opt-in, ablation in PARITY.md.
+    symmetric_smooth_grad: bool = False
 
     @classmethod
     def from_dict(cls, loss_cfg: dict) -> "OGCLossConfig":
@@ -294,11 +351,12 @@ def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
     """w_knn * KnnLoss + w_ball_q * BallQLoss (reference SmoothLoss,
     losses/seg_loss_unsup.py:161-180)."""
     l_knn = knn_smooth_loss(
-        pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy, cfg.knn_loss_norm
+        pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy,
+        cfg.knn_loss_norm, cfg.symmetric_smooth_grad,
     )
     l_bq = ball_q_smooth_loss(
         pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
-        cfg.ball_q_loss_norm,
+        cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad,
     )
     return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
 

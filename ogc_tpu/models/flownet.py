@@ -311,19 +311,42 @@ class FlowStep3D(nn.Module):
         bnm = bn_momentum
         flow_predictions = []
 
-        pc1_l_loc, feats1_loc, fps_idx1 = self._encode_loc(
-            pc1, feature1, train=train, bnm=bnm
-        )
-        pc2_l_loc, feats2_loc, _ = self._encode_loc(
-            pc2, feature2, train=train, bnm=bnm
-        )
+        if train:
+            # Separate passes: BatchNorm batch statistics and running-stat
+            # updates must see each cloud on its own (reference order).
+            pc1_l_loc, feats1_loc, fps_idx1 = self._encode_loc(
+                pc1, feature1, train=train, bnm=bnm
+            )
+            pc2_l_loc, feats2_loc, _ = self._encode_loc(
+                pc2, feature2, train=train, bnm=bnm
+            )
+            pc1_l_glob, f1g = self._encode_glob(
+                pc1_l_loc[-1], feats1_loc, train=train, bnm=bnm
+            )
+            pc2_l_glob, f2g = self._encode_glob(
+                pc2_l_loc[-1], feats2_loc, train=train, bnm=bnm
+            )
+        else:
+            # Eval: norms use running stats, so encoding both clouds in ONE
+            # 2B batch is numerically identical to two passes — and the
+            # doubled batch fills the KNN/gather/MLP tiles better.
+            B = pc1.shape[0]
+            pc12 = jnp.concatenate([pc1, pc2], axis=0)
+            f12 = jnp.concatenate([feature1, feature2], axis=0)
+            pc12_l, feats12, fps_idx12 = self._encode_loc(
+                pc12, f12, train=train, bnm=bnm
+            )
+            pc1_l_loc = [p[:B] for p in pc12_l]
+            pc2_l_loc = [p[B:] for p in pc12_l]
+            feats1_loc, feats2_loc = feats12[:B], feats12[B:]
+            fps_idx1 = [f[:B] for f in fps_idx12]
 
-        pc1_l_glob, f1g = self._encode_glob(
-            pc1_l_loc[-1], feats1_loc, train=train, bnm=bnm
-        )
-        pc2_l_glob, f2g = self._encode_glob(
-            pc2_l_loc[-1], feats2_loc, train=train, bnm=bnm
-        )
+            pc12_g, f12g = self._encode_glob(
+                pc12_l[-1], feats12, train=train, bnm=bnm
+            )
+            pc1_l_glob = [p[:B] for p in pc12_g]
+            pc2_l_glob = [p[B:] for p in pc12_g]
+            f1g, f2g = f12g[:B], f12g[B:]
         corr_feats = self._global_corr(
             pc1_l_glob, pc2_l_glob, f1g, f2g, train, bnm
         )

@@ -166,3 +166,53 @@ def test_interpolate_mask_by_flow_identity():
     # zero flow, pc2 == pc1: mask carries over exactly
     out = L.interpolate_mask_by_flow(pc1, pc1, mask1, jnp.zeros_like(pc1), k=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(mask1), atol=1e-6)
+
+
+def test_symmetric_smooth_grad_exact_on_symmetric_graph():
+    """On a truly symmetric neighbor graph the scatter-free custom VJP must
+    equal autodiff exactly; on a KNN graph it is a documented approximation
+    (high cosine similarity)."""
+    from ogc_tpu.losses.seg_unsup import (
+        _neighbor_discrepancy,
+        _sym_grad_discrepancy,
+    )
+    from ogc_tpu import ops as _ops
+
+    rng = np.random.RandomState(0)
+    B, N, K = 2, 64, 5
+    mask = jnp.asarray(rng.rand(B, N, K).astype(np.float32))
+
+    # Symmetric graph: pair 2i <-> 2i+1, two slots each (self + partner).
+    partner = np.arange(N) ^ 1
+    idx_sym = jnp.asarray(
+        np.broadcast_to(
+            np.stack([np.arange(N), partner], -1), (B, N, 2)
+        ).astype(np.int32)
+    )
+
+    def auto(m):
+        return _neighbor_discrepancy(m, _ops.group(m, idx_sym), False, 1)
+
+    def sym(m):
+        return _sym_grad_discrepancy(m, idx_sym, 1)
+
+    np.testing.assert_allclose(float(auto(mask)), float(sym(mask)), rtol=1e-6)
+    g_auto = np.asarray(jax.grad(auto)(mask))
+    g_sym = np.asarray(jax.grad(sym)(mask))
+    np.testing.assert_allclose(g_sym, g_auto, rtol=1e-5, atol=1e-7)
+
+    # KNN graph (asymmetric): gradients should still be strongly aligned.
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    _, idx_knn = _ops.knn(4, pc, pc, exact=True)
+    idx_knn = jax.lax.stop_gradient(idx_knn)
+
+    def auto_k(m):
+        return _neighbor_discrepancy(m, _ops.group(m, idx_knn), False, 1)
+
+    def sym_k(m):
+        return _sym_grad_discrepancy(m, idx_knn, 1)
+
+    ga = np.asarray(jax.grad(auto_k)(mask)).ravel()
+    gs = np.asarray(jax.grad(sym_k)(mask)).ravel()
+    cos = np.dot(ga, gs) / (np.linalg.norm(ga) * np.linalg.norm(gs))
+    assert cos > 0.9, cos

@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--n_points", type=int, default=2048)
     parser.add_argument("--n_scenes", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--ablate", choices=["neighbors", "symgrad"],
+                        default="neighbors",
+                        help="neighbors: exact vs approx search; symgrad: "
+                             "autodiff vs symmetric-graph smooth gradient "
+                             "(both trained in approximate mode)")
     args = parser.parse_args()
 
     import jax
@@ -62,8 +67,15 @@ def main():
             n_transformer_layer=2, transformer_embed_dim=128,
         )
 
-    def train_one(exact: bool):
-        ops.set_exact_neighbors(exact)
+    def train_one(variant: bool):
+        # neighbors mode: variant = exact search.  symgrad mode: variant =
+        # symmetric_smooth_grad (approximate search for both arms).
+        if args.ablate == "neighbors":
+            ops.set_exact_neighbors(variant)
+            symgrad = False
+        else:
+            ops.set_exact_neighbors(False)
+            symgrad = variant
         model = make_model()
         pc0 = jnp.zeros((1, args.n_points, 3))
         params = model.init(jax.random.PRNGKey(args.seed), pc0, pc0)
@@ -72,6 +84,7 @@ def main():
             loss_cfg=OGCLossConfig(
                 weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0),
                 knn_k=8, knn_radius=0.05, ball_q_k=16, ball_q_radius=0.1,
+                symmetric_smooth_grad=symgrad,
             ),
             optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 4),
             aug_transform_epoch=9999, ignore_npoint_thresh=0,
@@ -85,7 +98,7 @@ def main():
             for batch in loader:
                 ld, _, _ = trainer.train_it(it, batch)
                 it += 1
-            print(f"  [{'exact' if exact else 'approx'}] epoch {epoch + 1}: "
+            print(f"  [variant={variant}] epoch {epoch + 1}: "
                   f"loss={ld['sum']:.4f}", file=sys.stderr, flush=True)
         return trainer
 
@@ -119,12 +132,14 @@ def main():
         return {"PQ@50": pq, "F1@50": f1,
                 "mIoU": float(np.mean(mious)), "RI": float(np.mean(ris))}
 
+    names = (("exact", "approx") if args.ablate == "neighbors"
+             else ("symgrad", "autodiff"))
     results = {}
-    for train_exact in (True, False):
-        trainer = train_one(train_exact)
+    for variant in (True, False):
+        trainer = train_one(variant)
+        vname = names[0] if variant else names[1]
         for eval_exact in (True, False):
-            key = (("exact" if train_exact else "approx"),
-                   ("exact" if eval_exact else "approx"))
+            key = (vname, ("exact" if eval_exact else "approx"))
             results[key] = evaluate(trainer, eval_exact)
             print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
 
