@@ -31,21 +31,32 @@ def chamfer_loss(pc1: Array, pc2: Array, flow: Array, loss_norm: int = 2) -> Arr
 
 
 def knn_flow_smooth(pc: Array, flow: Array, k: int, radius: float,
-                    loss_norm: int = 1) -> Array:
+                    loss_norm: int = 1, symmetric_grad: bool = False) -> Array:
     """KNN flow smoothness with radius clamp (flow_loss_unsup.py:38-62)."""
     dist, idx = ops.knn(k, pc, pc)
     nearest = idx[..., :1]
-    idx = jnp.where(dist > radius, nearest, idx)
-    nn_flow = ops.group(flow, jax.lax.stop_gradient(idx))  # (B, N, k, 3)
+    idx = jax.lax.stop_gradient(jnp.where(dist > radius, nearest, idx))
+    if symmetric_grad:
+        # Scatter-free backward under the symmetric-graph assumption
+        # (losses/seg_unsup.py::_sym_grad_discrepancy — same math over the
+        # 3 flow channels); opt-in, see OGCLossConfig.symmetric_smooth_grad.
+        from ogc_tpu.losses.seg_unsup import _sym_grad_discrepancy
+
+        return _sym_grad_discrepancy(flow, idx, loss_norm)
+    nn_flow = ops.group(flow, idx)  # (B, N, k, 3)
     diff = flow[:, :, None, :] - nn_flow
     return jnp.mean(jnp.linalg.norm(diff, ord=loss_norm, axis=-1))
 
 
 def ball_q_flow_smooth(pc: Array, flow: Array, k: int, radius: float,
-                       loss_norm: int = 1) -> Array:
+                       loss_norm: int = 1, symmetric_grad: bool = False) -> Array:
     """Ball-query flow smoothness (flow_loss_unsup.py:65-87)."""
-    idx = ops.ball_query(radius, k, pc, pc)
-    nn_flow = ops.group(flow, jax.lax.stop_gradient(idx))
+    idx = jax.lax.stop_gradient(ops.ball_query(radius, k, pc, pc))
+    if symmetric_grad:
+        from ogc_tpu.losses.seg_unsup import _sym_grad_discrepancy
+
+        return _sym_grad_discrepancy(flow, idx, loss_norm)
+    nn_flow = ops.group(flow, idx)
     diff = flow[:, :, None, :] - nn_flow
     return jnp.mean(jnp.linalg.norm(diff, ord=loss_norm, axis=-1))
 
@@ -66,6 +77,8 @@ class FlowLossConfig:
     ball_q_k: int = 8
     ball_q_radius: float = 0.1
     ball_q_loss_norm: int = 1
+    # Scatter-free smooth backward (symmetric-graph assumption); opt-in.
+    symmetric_smooth_grad: bool = False
 
     @classmethod
     def from_dict(cls, loss_cfg: dict) -> "FlowLossConfig":
@@ -85,14 +98,18 @@ class FlowLossConfig:
             ball_q_k=bp.get("k", 8),
             ball_q_radius=bp.get("radius", 0.1),
             ball_q_loss_norm=bp.get("loss_norm", 1),
+            # Extension key (not in reference YAMLs).
+            symmetric_smooth_grad=s.get("symmetric_grad", False),
         )
 
 
 def flow_smooth_loss(pc: Array, flow: Array, cfg: FlowLossConfig) -> Array:
     return cfg.smooth_w_knn * knn_flow_smooth(
-        pc, flow, cfg.knn_k, cfg.knn_radius, cfg.knn_loss_norm
+        pc, flow, cfg.knn_k, cfg.knn_radius, cfg.knn_loss_norm,
+        cfg.symmetric_smooth_grad,
     ) + cfg.smooth_w_ball_q * ball_q_flow_smooth(
-        pc, flow, cfg.ball_q_k, cfg.ball_q_radius, cfg.ball_q_loss_norm
+        pc, flow, cfg.ball_q_k, cfg.ball_q_radius, cfg.ball_q_loss_norm,
+        cfg.symmetric_smooth_grad,
     )
 
 

@@ -344,6 +344,9 @@ class OGCLossConfig:
             ball_q_radius=bp.get("radius", 0.2),
             ball_q_loss_norm=bp.get("loss_norm", 1),
             invariance_loss_norm=i.get("loss_norm", 2),
+            # Extension key (not in reference YAMLs): scatter-free
+            # smooth backward, see _sym_grad_discrepancy.
+            symmetric_smooth_grad=s.get("symmetric_grad", False),
         )
 
 

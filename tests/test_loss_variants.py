@@ -70,3 +70,23 @@ def test_finite_grad_guard_skips_nan_updates():
     updates, state = opt.update(good_grads, state, params)
     new_params = optax.apply_updates(params, updates)
     assert not np.allclose(np.asarray(new_params["w"]), np.ones(3))
+
+
+def test_flow_smooth_symmetric_grad_finite_and_same_forward():
+    """flow smooth with symmetric_smooth_grad: identical forward value,
+    finite scatter-free gradient."""
+    import jax
+    import jax.numpy as jnp
+    from ogc_tpu.losses.flow_unsup import FlowLossConfig, flow_smooth_loss
+
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32))
+    flow = jnp.asarray(0.1 * rng.randn(2, 96, 3).astype(np.float32))
+    cfg_a = FlowLossConfig()
+    cfg_s = FlowLossConfig(symmetric_smooth_grad=True)
+    la = float(flow_smooth_loss(pc, flow, cfg_a))
+    ls = float(flow_smooth_loss(pc, flow, cfg_s))
+    np.testing.assert_allclose(la, ls, rtol=1e-6)
+    g = jax.grad(lambda f: flow_smooth_loss(pc, f, cfg_s))(flow)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
