@@ -322,6 +322,13 @@ class OGCLossConfig:
     # Scatter-free smooth-loss backward assuming a symmetric neighbor graph
     # (see _sym_grad_discrepancy); opt-in, ablation in PARITY.md.
     symmetric_smooth_grad: bool = False
+    # When False, monitoring-only computations are skipped statically:
+    # entropy/rank (reference seg_loss_unsup.py:328-330, never in backprop)
+    # and any weighted term whose weight is exactly 0.0 in the config (the
+    # reference still evaluates those forwards purely to fill the log dict).
+    # Their loss_dict entries are reported as 0.  Turn off for production
+    # throughput runs without scalar logging.
+    monitor_terms: bool = True
 
     @classmethod
     def from_dict(cls, loss_cfg: dict) -> "OGCLossConfig":
@@ -344,9 +351,10 @@ class OGCLossConfig:
             ball_q_radius=bp.get("radius", 0.2),
             ball_q_loss_norm=bp.get("loss_norm", 1),
             invariance_loss_norm=i.get("loss_norm", 2),
-            # Extension key (not in reference YAMLs): scatter-free
-            # smooth backward, see _sym_grad_discrepancy.
+            # Extension keys (not in reference YAMLs): scatter-free smooth
+            # backward (see _sym_grad_discrepancy) and monitor-term skipping.
             symmetric_smooth_grad=s.get("symmetric_grad", False),
+            monitor_terms=loss_cfg.get("monitor_terms", True),
         )
 
 
@@ -388,23 +396,38 @@ def ogc_loss(
         return jnp.where(jnp.asarray(it) < start_step, 0.0, weight)
 
     loss_dict: Dict[str, Array] = {}
+    # With monitor_terms off, a term whose config weight is exactly 0.0 is
+    # skipped STATICALLY (it can never contribute to the gradient; the
+    # reference evaluates it only to populate the log dict).
+    skip_zero = not cfg.monitor_terms
+    total = jnp.float32(0.0)
 
-    l_dyn = sum(
-        dynamic_loss(pcs[f], masks[f], flows[f], cfg.dynamic_loss_norm)
-        for f in range(n_frames)
-    )
-    if aug_transform:
-        l_dyn = 0.5 * l_dyn
-    loss_dict["dynamic"] = l_dyn
-    total = gate(cfg.weights[0], cfg.start_steps[0]) * l_dyn
+    if skip_zero and cfg.weights[0] == 0.0:
+        loss_dict["dynamic"] = jnp.float32(0.0)
+    else:
+        l_dyn = sum(
+            dynamic_loss(pcs[f], masks[f], flows[f], cfg.dynamic_loss_norm)
+            for f in range(n_frames)
+        )
+        if aug_transform:
+            l_dyn = 0.5 * l_dyn
+        loss_dict["dynamic"] = l_dyn
+        total = total + gate(cfg.weights[0], cfg.start_steps[0]) * l_dyn
 
-    l_smooth = sum(smooth_loss(pcs[f], masks[f], cfg) for f in range(n_frames))
-    if aug_transform:
-        l_smooth = 0.5 * l_smooth
-    loss_dict["smooth"] = l_smooth
-    total = total + gate(cfg.weights[1], cfg.start_steps[1]) * l_smooth
+    if skip_zero and cfg.weights[1] == 0.0:
+        loss_dict["smooth"] = jnp.float32(0.0)
+    else:
+        l_smooth = sum(
+            smooth_loss(pcs[f], masks[f], cfg) for f in range(n_frames)
+        )
+        if aug_transform:
+            l_smooth = 0.5 * l_smooth
+        loss_dict["smooth"] = l_smooth
+        total = total + gate(cfg.weights[1], cfg.start_steps[1]) * l_smooth
 
-    if aug_transform:
+    if aug_transform and skip_zero and cfg.weights[2] == 0.0:
+        loss_dict["invariance"] = jnp.float32(0.0)
+    elif aug_transform:
         # Invariance between each frame and its augmented copy: with 4 frames
         # (2 original x 2 views) pairs are (0,2),(1,3)
         # (losses/seg_loss_unsup.py:383); the Waymo 1-frame variant has 2
@@ -423,12 +446,16 @@ def ogc_loss(
         loss_dict["invariance"] = jnp.float32(0.0)
 
     # Monitoring-only terms (not in the gradient).
-    mon_masks = [jax.lax.stop_gradient(m) for m in masks]
-    l_ent = sum(entropy_loss(m) for m in mon_masks)
-    l_rank = sum(rank_loss(m) for m in mon_masks)
-    if aug_transform:
-        l_ent, l_rank = 0.5 * l_ent, 0.5 * l_rank
-    loss_dict["entropy"] = l_ent
-    loss_dict["rank"] = l_rank
+    if cfg.monitor_terms:
+        mon_masks = [jax.lax.stop_gradient(m) for m in masks]
+        l_ent = sum(entropy_loss(m) for m in mon_masks)
+        l_rank = sum(rank_loss(m) for m in mon_masks)
+        if aug_transform:
+            l_ent, l_rank = 0.5 * l_ent, 0.5 * l_rank
+        loss_dict["entropy"] = l_ent
+        loss_dict["rank"] = l_rank
+    else:
+        loss_dict["entropy"] = jnp.float32(0.0)
+        loss_dict["rank"] = jnp.float32(0.0)
     loss_dict["sum"] = total
     return total, loss_dict

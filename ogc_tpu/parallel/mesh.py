@@ -21,6 +21,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
     return Mesh(np.array(devices), (axis,))
 
 
+def make_global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over ALL devices of ALL processes (multi-host fleet runs).
+
+    `jax.devices()` is already the global device list under multi-host
+    initialization (jax.distributed.initialize); on a single host this is
+    identical to make_mesh().  Collectives ride ICI within a host/pod slice
+    and DCN across hosts — the same jitted program covers both.
+    """
+    return make_mesh(jax.devices(), axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard axis 0 of arrays across the mesh."""
     return NamedSharding(mesh, P(axis))
@@ -32,8 +43,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """Device-put a pytree of host arrays with axis-0 sharding.  Batch dim
-    must be divisible by the mesh size (use pad_batch otherwise)."""
+    must be divisible by the mesh size (use pad_batch otherwise).
+
+    Multi-host: when the mesh spans several processes, each process passes
+    its PROCESS-LOCAL slice of the batch (its own DataLoader shard) and the
+    global array is assembled via jax.make_array_from_process_local_data —
+    the standard multi-host input pipeline (each host feeds only the shards
+    its devices own; no cross-host data movement)."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
@@ -51,7 +75,10 @@ def shard_padded(mesh: Mesh, arrays: Sequence[Any], axis: str = "data"):
     parallelism on a non-divisible final batch (the reference is single-
     device and never faces one); the padded duplicates give that batch's
     mean a slight duplicate weighting, bounded by (pad/true_b)."""
-    n_dev = mesh.devices.size
+    # Pad to the PER-PROCESS device count: under multi-host each process
+    # holds only its local slice (see shard_batch), so divisibility is
+    # required w.r.t. the devices this process feeds.
+    n_dev = mesh.devices.size // jax.process_count()
     b = arrays[0].shape[0]
     pad_to = -(-b // n_dev) * n_dev
     if pad_to != b:

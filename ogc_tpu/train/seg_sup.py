@@ -53,6 +53,9 @@ class SupSegTrainer:
         save_checkpoint(
             self._full_state(epoch), is_best,
             filename=self.checkpoint_name, bestname=self.best_name,
+            # Training continues while the write hits disk (single-slot
+            # background writer; loaders join it before reading).
+            async_save=True,
         )
 
     def resume(self, path: str) -> int:

@@ -12,10 +12,27 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from typing import Any, Optional
 
 import flax.serialization
 import jax
+
+# Single-slot async writer: at most one background save in flight; a new
+# save (or a load) first joins the previous one, so files are never written
+# concurrently and a crash loses at most the newest state (the previous
+# .ckpt stays intact thanks to the tmp+rename atomic write).
+_pending_save: Optional[threading.Thread] = None
+_pending_lock = threading.Lock()
+
+
+def wait_pending_saves() -> None:
+    """Block until the last async save_checkpoint has hit disk."""
+    global _pending_save
+    with _pending_lock:
+        t, _pending_save = _pending_save, None
+    if t is not None:
+        t.join()
 
 
 def _resolve(path: str) -> str:
@@ -24,20 +41,47 @@ def _resolve(path: str) -> str:
     return path
 
 
+def _write_atomic(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     state: Any,
     is_best: bool,
     filename: str = "current",
     bestname: str = "best",
+    async_save: bool = False,
 ) -> None:
     """Serialize `state` (any pytree) to <filename>.ckpt; copy to
-    <bestname>.ckpt when `is_best`."""
-    path = filename + ".ckpt"
+    <bestname>.ckpt when `is_best`.
+
+    With ``async_save`` the device->host fetch happens synchronously (so the
+    caller may keep mutating its live state) but serialization + disk IO run
+    on a background thread — training continues while the checkpoint is
+    written (orbax-style async checkpointing for large-scale runs; the
+    msgpack single-file format is kept for interop with the eval loaders).
+    """
     state = jax.device_get(state)
-    with open(path, "wb") as f:
-        f.write(flax.serialization.to_bytes(state))
-    if is_best:
-        shutil.copyfile(path, bestname + ".ckpt")
+
+    def _do_save():
+        path = filename + ".ckpt"
+        _write_atomic(path, flax.serialization.to_bytes(state))
+        if is_best:
+            shutil.copyfile(path, bestname + ".ckpt")
+
+    if not async_save:
+        wait_pending_saves()
+        _do_save()
+        return
+    global _pending_save
+    wait_pending_saves()
+    t = threading.Thread(target=_do_save, name="ckpt-writer", daemon=False)
+    with _pending_lock:
+        _pending_save = t
+    t.start()
 
 
 def load_checkpoint(path: str, target: Any) -> Any:
@@ -46,6 +90,7 @@ def load_checkpoint(path: str, target: Any) -> Any:
     Tolerates both bare-state checkpoints and full-train-state ones: if the
     stored dict carries a 'model_state' entry and `target` doesn't, only the
     model_state is restored."""
+    wait_pending_saves()
     raw = flax.serialization.msgpack_restore(
         open(_resolve(path), "rb").read()
     )
@@ -60,6 +105,7 @@ def load_checkpoint(path: str, target: Any) -> Any:
 
 def load_train_state(path: str, target: dict) -> dict:
     """Restore a full {'model_state', 'opt_state', 'epoch', ...} dict."""
+    wait_pending_saves()
     raw = flax.serialization.msgpack_restore(
         open(_resolve(path), "rb").read()
     )

@@ -61,3 +61,26 @@ def test_resume_roundtrip(tmp_path):
     ld1, _, _ = t1.train_it(10, batch)
     ld2, _, _ = t2.train_it(10, batch)
     np.testing.assert_allclose(ld1["sum"], ld2["sum"], rtol=1e-6)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async save: background write joins on load; atomic rename leaves the
+    previous file intact until the new one is complete."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.utils.checkpoint import (
+        load_train_state, save_checkpoint, wait_pending_saves,
+    )
+
+    state = {"model_state": {"w": jnp.arange(5.0)}, "epoch": 3}
+    fn = str(tmp_path / "cur")
+    bn = str(tmp_path / "best")
+    save_checkpoint(state, True, filename=fn, bestname=bn, async_save=True)
+    # load joins the pending writer.
+    out = load_train_state(fn, {"model_state": {"w": jnp.zeros(5)}, "epoch": 0})
+    assert out["epoch"] == 3
+    assert np.allclose(np.asarray(out["model_state"]["w"]), np.arange(5.0))
+    # best copy exists too
+    out2 = load_train_state(bn, {"model_state": {"w": jnp.zeros(5)}, "epoch": 0})
+    assert out2["epoch"] == 3
+    wait_pending_saves()  # idempotent

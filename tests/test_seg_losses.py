@@ -216,3 +216,43 @@ def test_symmetric_smooth_grad_exact_on_symmetric_graph():
     gs = np.asarray(jax.grad(sym_k)(mask)).ravel()
     cos = np.dot(ga, gs) / (np.linalg.norm(ga) * np.linalg.norm(gs))
     assert cos > 0.9, cos
+
+
+def test_monitor_terms_off_same_gradient_loss():
+    """monitor_terms=False must not change the training objective; monitor
+    dict entries become 0; statically-zero-weight terms are skipped."""
+    rng = np.random.RandomState(7)
+    pcs = [jnp.asarray(rng.rand(2, 64, 3).astype(np.float32)) for _ in range(2)]
+    masks = [
+        jax.nn.softmax(jnp.asarray(rng.randn(2, 64, 5).astype(np.float32)), -1)
+        for _ in range(2)
+    ]
+    flows = [jnp.asarray(0.05 * rng.randn(2, 64, 3).astype(np.float32))
+             for _ in range(2)]
+
+    cfg_on = L.OGCLossConfig(weights=(10.0, 0.0, 0.1), knn_k=4, ball_q_k=4)
+    cfg_off = L.OGCLossConfig(
+        weights=(10.0, 0.0, 0.1), knn_k=4, ball_q_k=4, monitor_terms=False
+    )
+    tot_on, ld_on = L.ogc_loss(pcs, masks, flows, cfg_on)
+    tot_off, ld_off = L.ogc_loss(pcs, masks, flows, cfg_off)
+    np.testing.assert_allclose(
+        np.asarray(tot_on), np.asarray(tot_off), rtol=1e-6
+    )
+    assert set(ld_on) == set(ld_off)
+    assert float(ld_on["entropy"]) > 0 and float(ld_off["entropy"]) == 0.0
+    assert float(ld_on["smooth"]) > 0 and float(ld_off["smooth"]) == 0.0
+    # Gated weight (start_steps) still works with monitors off.
+    tot_g, _ = L.ogc_loss(
+        pcs, masks, flows,
+        L.OGCLossConfig(weights=(10.0, 0.0, 0.1), knn_k=4, ball_q_k=4,
+                        monitor_terms=False, start_steps=(100, 0, 0)),
+        step_w=True, it=5,
+    )
+    assert float(tot_g) == 0.0
+
+
+def test_monitor_terms_from_dict():
+    cfg = L.OGCLossConfig.from_dict({"monitor_terms": False})
+    assert not cfg.monitor_terms
+    assert L.OGCLossConfig.from_dict({}).monitor_terms
