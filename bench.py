@@ -98,7 +98,11 @@ if __name__ == "__main__":
     try:
         from ogc_tpu.models.flownet import FlowStep3D
 
-        flownet = FlowStep3D(npoint=N_POINTS, arch="kitti", k_decay_fact=0.5)
+        # KITTI protocol hyperparameters (config/flow/kittisf/kittisf_unsup.yaml).
+        flownet = FlowStep3D(
+            npoint=N_POINTS, arch="kitti", k_decay_fact=0.5,
+            loc_flow_nn=16, loc_flow_rad=1.5,
+        )
         fvars = jax.jit(
             lambda k, a, b: flownet.init(k, a, b, a, b, 2)
         )(jax.random.PRNGKey(1), pc[:1], pc[:1])

@@ -85,18 +85,48 @@ class InstanceNorm(nn.Module):
 
 class _NormedConvStack(nn.Module):
     """Conv(1x1, no bias) + norm + act per layer — the mlp stack shared by
-    the flow modules (flowstep3d_util.py:19-25, 84-91)."""
+    the flow modules (flowstep3d_util.py:19-25, 84-91).
+
+    `split_first`: optional (raw, center_in) pair replacing `x` for the
+    first layer, exploiting the layer's linearity:
+
+        Dense(concat([g_xyz - center, g_feat])) ==
+            Dense(raw) - Dense(concat([center, 0]))        (no bias)
+
+    where raw = gather(concat([xyz, feat])) is the UNTOUCHED (B, M, S, 3+C)
+    gather output and center_in = concat([center, zeros]) is per-point
+    (B, M, 3+C).  This lets the big gathered tensor feed the MXU directly —
+    profiling showed the old concat path spends several ms per call on XLA
+    rewrite chains (relative-xyz select fusion + layout copy + bf16
+    cast-slice + transpose) around each grouped tensor, dwarfing the matmul.
+    The first layer then runs in f32 with HIGH (3-pass bf16) precision:
+    unlike the relative coordinates of the fused path, raw xyz columns carry
+    scene-scale magnitudes (~30 m on KITTI) that a single-pass bf16 matmul
+    would quantize to ~0.1 m.  Parameter tree and math are unchanged.
+    """
 
     mlp: Sequence[int]
     use_instance_norm: bool = False
     use_act: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = True, bn_momentum=0.1):
+    def __call__(self, x, train: bool = True, bn_momentum=0.1,
+                 split_first=None):
         from ogc_tpu.nn.layers import compute_dtype
 
-        for c in self.mlp:
-            x = nn.Dense(c, use_bias=False, dtype=compute_dtype())(x)
+        for i, c in enumerate(self.mlp):
+            if i == 0 and split_first is not None:
+                raw, center_in = split_first
+                # dtype=None: run in the f32 input dtype (precision note
+                # above); identical params to the compute-dtype Dense.
+                d = nn.Dense(
+                    c, use_bias=False, dtype=None,
+                    precision=jax.lax.Precision.HIGH,
+                )
+                x = d(raw) - d(center_in)[..., None, :]
+                x = x.astype(compute_dtype())
+            else:
+                x = nn.Dense(c, use_bias=False, dtype=compute_dtype())(x)
             if self.use_act:
                 # Norms run in the compute dtype (stats in f32 inside): no
                 # per-layer f32 materialization of the grouped tensors.
@@ -128,6 +158,36 @@ class FlowSAModule(nn.Module):
     mean_aggr: bool = False
     use_instance_norm: bool = False
 
+    def _grouped_inputs(self, xyz, new_xyz, idx, features):
+        """Prepare the conv-stack input for precomputed neighbor indices:
+        either the fused (rel_xyz || feat) tensor, or — in bf16 compute mode
+        with xyz+features — the raw-gather split form (see _NormedConvStack:
+        the raw gather output feeds the first Dense directly, skipping the
+        XLA rewrite chain around the grouped tensor)."""
+        from ogc_tpu.nn.layers import compute_dtype
+
+        if (
+            self.use_xyz
+            and features is not None
+            and compute_dtype() == jnp.bfloat16
+        ):
+            raw = ops.group(jnp.concatenate([xyz, features], axis=-1), idx)
+            center_in = jnp.concatenate(
+                [
+                    new_xyz,
+                    jnp.zeros(
+                        new_xyz.shape[:2] + (features.shape[-1],),
+                        new_xyz.dtype,
+                    ),
+                ],
+                axis=-1,
+            )
+            return None, (raw, center_in)
+        grouped, _ = ops.group_with_idx(
+            xyz, new_xyz, idx, features, use_xyz=self.use_xyz
+        )
+        return grouped, None
+
     @nn.compact
     def __call__(self, xyz, features, fps_idx=None, train: bool = True,
                  bn_momentum=0.1, group_idx=None):
@@ -140,13 +200,12 @@ class FlowSAModule(nn.Module):
         """
         if group_idx is not None:
             assert self.npoint in (None, -1, xyz.shape[1])
-            grouped, _ = ops.group_with_idx(
-                xyz, xyz, group_idx[..., : self.nsample], features,
-                use_xyz=self.use_xyz,
+            grouped, split = self._grouped_inputs(
+                xyz, xyz, group_idx[..., : self.nsample], features
             )
             h = _NormedConvStack(
                 tuple(self.mlp), self.use_instance_norm, self.use_act
-            )(grouped, train=train, bn_momentum=bn_momentum)
+            )(grouped, train=train, bn_momentum=bn_momentum, split_first=split)
             out = jnp.mean(h, axis=2) if self.mean_aggr else jnp.max(h, axis=2)
             return xyz, out, fps_idx
         if (
@@ -168,13 +227,15 @@ class FlowSAModule(nn.Module):
             # per forward; per-point features are unchanged (grouping is
             # permutation-equivariant).
             new_xyz = xyz
-        grouped, _ = ops.query_and_group(
-            self.radius, self.nsample, xyz, new_xyz, features,
-            use_xyz=self.use_xyz,
-        )  # (B, M, S, 3[+C])
+        # KNN + radius clamp (QueryAndGroup semantics, pointnet2.py:281-301).
+        dist, idx = ops.knn(self.nsample, new_xyz, xyz)
+        if self.radius is not None:
+            nearest = idx[..., :1]
+            idx = jnp.where(dist > self.radius, nearest, idx)
+        grouped, split = self._grouped_inputs(xyz, new_xyz, idx, features)
         h = _NormedConvStack(
             tuple(self.mlp), self.use_instance_norm, self.use_act
-        )(grouped, train=train, bn_momentum=bn_momentum)
+        )(grouped, train=train, bn_momentum=bn_momentum, split_first=split)
         if self.mean_aggr:
             out = jnp.mean(h, axis=2)
         else:

@@ -76,13 +76,32 @@ class PointwiseConv(nn.Module):
     act: bool = True
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(
-            self.features,
-            use_bias=self.norm is None,
-            kernel_init=kaiming_normal,
-            dtype=_COMPUTE_DTYPE,
-        )(x)
+    def __call__(self, x, split=None):
+        """`split`: optional (raw, center_in) replacing x — computes
+        Dense(raw) - Dense(center_in)[..., None, :] by linearity (only valid
+        for bias-free layers, i.e. when a norm follows; see
+        flowstep3d._NormedConvStack for the rationale and numerics).  Runs
+        in f32 with HIGH matmul precision — raw xyz columns carry
+        scene-scale magnitudes."""
+        if split is not None:
+            assert self.norm is not None  # bias-free, else b would cancel
+            import jax
+
+            raw, center_in = split
+            d = nn.Dense(
+                self.features, use_bias=False, kernel_init=kaiming_normal,
+                dtype=None, precision=jax.lax.Precision.HIGH,
+            )
+            x = d(raw) - d(center_in)[..., None, :]
+            if _COMPUTE_DTYPE is not None:
+                x = x.astype(_COMPUTE_DTYPE)
+        else:
+            x = nn.Dense(
+                self.features,
+                use_bias=self.norm is None,
+                kernel_init=kaiming_normal,
+                dtype=_COMPUTE_DTYPE,
+            )(x)
         norm_layer = make_norm(self.norm)
         if norm_layer is not None:
             # The norm's own dtype mirrors the compute dtype (stats in f32
@@ -105,9 +124,16 @@ class SharedMLP(nn.Module):
     norm: NormSpec = None
 
     @nn.compact
-    def __call__(self, x):
-        for c in self.channels:
-            x = PointwiseConv(c, norm=self.norm, act=True)(x)
+    def __call__(self, x, split_first=None):
+        """`split_first`: optional (raw, center_in) for the first layer
+        (see PointwiseConv.split)."""
+        for i, c in enumerate(self.channels):
+            if i == 0 and split_first is not None:
+                x = PointwiseConv(c, norm=self.norm, act=True)(
+                    None, split=split_first
+                )
+            else:
+                x = PointwiseConv(c, norm=self.norm, act=True)(x)
         return x
 
 

@@ -52,6 +52,31 @@ class SAModuleMSG(nn.Module):
             inds = None
             new_xyz = None
 
+        from ogc_tpu.nn.layers import compute_dtype
+
+        # bf16 compute: first-layer raw-gather split (the gather output
+        # feeds the first Dense directly; the per-point center correction
+        # is a tiny second Dense call — see flowstep3d._NormedConvStack).
+        use_split = (
+            self.npoint is not None
+            and self.use_xyz
+            and features is not None
+            and self.norm is not None
+            and compute_dtype() == jnp.bfloat16
+        )
+        if use_split:
+            src = jnp.concatenate([xyz, features], axis=-1)
+            center_in = jnp.concatenate(
+                [
+                    new_xyz,
+                    jnp.zeros(
+                        new_xyz.shape[:2] + (features.shape[-1],),
+                        new_xyz.dtype,
+                    ),
+                ],
+                axis=-1,
+            )
+
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             if self.npoint is not None:
@@ -59,6 +84,13 @@ class SAModuleMSG(nn.Module):
                 i = idx[..., :nsample]
                 if radius is not None:
                     i = jnp.where(d > radius, i[..., :1], i)
+                if use_split:
+                    raw = ops.group(src, i)
+                    h = SharedMLP(tuple(mlp), norm=self.norm)(
+                        None, split_first=(raw, center_in)
+                    )
+                    outs.append(jnp.max(h, axis=2))
+                    continue
                 grouped, _ = ops.group_with_idx(
                     xyz, new_xyz, i, features, use_xyz=self.use_xyz
                 )  # (B, M, S, 3+C)

@@ -145,7 +145,9 @@ def _furthest_point_sample_xla(xyz: Array, npoint: int) -> Array:
     def body(i, state):
         min_d2, idxs, last = state
         # (B, 3) coordinates of the most recently selected point.
-        last_xyz = jnp.take_along_axis(xyz, last[:, None, None], axis=1)
+        last_xyz = jnp.take_along_axis(
+            xyz, last[:, None, None], axis=1, mode="clip"
+        )
         d2 = jnp.sum((xyz - last_xyz) ** 2, axis=-1)  # (B, N)
         min_d2 = jnp.minimum(min_d2, d2)
         nxt = jnp.argmax(min_d2, axis=-1).astype(jnp.int32)  # first max wins
@@ -173,11 +175,17 @@ def _flat_take(points: Array, flat_idx: Array) -> Array:
     Measured ~1.7x faster than per-batch take_along_axis on TPU (gather cost
     is per-row, independent of row width).
     :param points: (B, N, C); :param flat_idx: (B, K) int32.
+
+    mode="clip" matters: jnp.take's default fill mode lowers to
+    gather + select_n over the FULL gathered tensor (an extra (rows, C)
+    read+write per gather — profiled at ~1.5 ms per 0.5M x 131 f32 call,
+    one per grouped op).  Neighbor indices here are in-bounds by
+    construction, so clipping is a no-op semantically.
     """
     B, N, C = points.shape
     offs = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
     gi = (flat_idx.astype(jnp.int32) + offs).reshape(-1)
-    out = jnp.take(points.reshape(B * N, C), gi, axis=0)
+    out = jnp.take(points.reshape(B * N, C), gi, axis=0, mode="clip")
     return out.reshape(B, flat_idx.shape[1], C)
 
 

@@ -122,3 +122,63 @@ def test_scan_matches_unrolled(tiny_flownet):
     for a, b in zip(e_scan, e_unr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_split_grouped_dense_matches_fused_path():
+    """bf16 compute routes grouped SA stacks through the raw-gather split
+    form (first Dense on the raw gather + per-point center correction);
+    outputs must match the fused (rel_xyz || feat) path to bf16 tolerance
+    and the param tree must be identical."""
+    import numpy as np
+
+    from ogc_tpu.nn import flowstep3d as F
+    from ogc_tpu.nn.layers import set_compute_dtype
+    from ogc_tpu import ops
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(30.0 * rng.rand(2, 256, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(2, 256, 16).astype(np.float32))
+    m = F.FlowSAModule(npoint=128, nsample=8, mlp=(32, 32), radius=None)
+
+    set_compute_dtype(jnp.float32)
+    p32 = m.init(jax.random.PRNGKey(0), xyz, feat)
+    (_, ref_out, _), _ = m.apply(
+        p32, xyz, feat, train=False, mutable=["batch_stats"]
+    )
+
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        p16 = m.init(jax.random.PRNGKey(0), xyz, feat)
+        assert jax.tree_util.tree_structure(p32) == \
+            jax.tree_util.tree_structure(p16)
+        assert jax.tree_util.tree_map(lambda a: a.shape, p32) == \
+            jax.tree_util.tree_map(lambda a: a.shape, p16)
+        (_, split_out, _), _ = m.apply(
+            p32, xyz, feat, train=False, mutable=["batch_stats"]
+        )
+
+        orig = F.FlowSAModule._grouped_inputs
+
+        def fused_only(self, xyz, new_xyz, idx, features):
+            grouped, _ = ops.group_with_idx(
+                xyz, new_xyz, idx, features, use_xyz=self.use_xyz
+            )
+            return grouped, None
+
+        F.FlowSAModule._grouped_inputs = fused_only
+        try:
+            (_, fused_out, _), _ = m.apply(
+                p32, xyz, feat, train=False, mutable=["batch_stats"]
+            )
+        finally:
+            F.FlowSAModule._grouped_inputs = orig
+    finally:
+        set_compute_dtype(jnp.float32)
+
+    ref, sp, fu = map(np.asarray, (ref_out, split_out, fused_out))
+    # Split runs the first layer in f32-HIGH: at least as close to the f32
+    # reference as the fused bf16 path.
+    rms_sp = np.sqrt(((sp - ref) ** 2).mean())
+    rms_fu = np.sqrt(((fu - ref) ** 2).mean())
+    assert rms_sp <= rms_fu * 1.2, (rms_sp, rms_fu)
+    assert np.abs(sp - fu).max() < 0.1

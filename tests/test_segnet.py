@@ -66,3 +66,29 @@ def test_segnet_param_count_sapien(sapien_model):
     model, params, _ = sapien_model
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert n == 694848, n
+
+
+def test_segnet_split_grouped_dense_bf16_close_to_f32():
+    """bf16 compute routes SA groupings through the raw-gather split path;
+    masks must stay close to the f32 forward and the param tree unchanged."""
+    import numpy as np
+
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.rand(2, 512, 3).astype(np.float32))
+    m = MaskFormer3D(n_slot=8, n_point=512, arch="sapien")
+    p32 = m.init(jax.random.PRNGKey(0), pc, pc)
+    ref = m.apply(p32, pc, pc)
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        p16 = m.init(jax.random.PRNGKey(0), pc, pc)
+        assert jax.tree_util.tree_structure(p32) == \
+            jax.tree_util.tree_structure(p16)
+        assert jax.tree_util.tree_map(lambda a: a.shape, p32) == \
+            jax.tree_util.tree_map(lambda a: a.shape, p16)
+        out = m.apply(p32, pc, pc)
+    finally:
+        set_compute_dtype(None)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() < 0.35 and d.mean() < 0.01, (d.max(), d.mean())

@@ -1,0 +1,100 @@
+"""Capture a jax.profiler trace of the flow/seg forward and print the top
+HLO ops by total device time (parsed with jax.profiler.ProfileData — no
+TensorBoard needed).
+
+Usage: python tools/trace_flow.py [flow|seg|train] [B]
+"""
+
+import glob
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def top_ops(trace_dir, n=45):
+    from jax.profiler import ProfileData
+
+    files = sorted(glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True))
+    assert files, f"no xplane under {trace_dir}"
+    pd = ProfileData.from_file(files[-1])
+    totals = {}
+    nlines = 0
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            nlines += 1
+            for ev in line.events:
+                dur = ev.duration_ns
+                name = ev.name
+                totals[name] = totals.get(name, 0.0) + dur
+    print(f"# planes parsed, {nlines} lines")
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    tot = sum(totals.values())
+    print(f"total event time: {tot/1e6:.2f} ms")
+    for name, dur in items[:n]:
+        print(f"{dur/1e6:9.3f} ms  {name[:110]}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+
+    what = sys.argv[1] if len(sys.argv) > 1 else "flow"
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    N = 8192
+    rng = np.random.RandomState(0)
+
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    set_compute_dtype(jnp.bfloat16)
+
+    pc1 = jnp.asarray(30.0 * rng.rand(1, N, 3).astype(np.float32))
+    pc = jnp.asarray(30.0 * rng.rand(B, N, 3).astype(np.float32))
+
+    if what == "flow":
+        from ogc_tpu.models.flownet import FlowStep3D
+
+        net = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5)
+        fvars = jax.jit(lambda k, a, b: net.init(k, a, b, a, b, 2))(
+            jax.random.PRNGKey(1), pc1, pc1
+        )
+        fn = jax.jit(
+            lambda v, a, b: jnp.sum(net.apply(v, a, b, a, b, 5, train=False)[-1])
+        )
+        args = (fvars, pc, pc)
+    elif what == "seg":
+        from ogc_tpu.models.segnet import MaskFormer3D
+
+        net = MaskFormer3D(
+            n_slot=10, n_point=N, arch="kitti",
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+        params = jax.jit(net.init)(jax.random.PRNGKey(0), pc1, pc1)
+        fn = jax.jit(lambda p, x: jnp.sum(net.apply(p, x, x)))
+        args = (params, pc)
+    else:
+        raise SystemExit(f"unknown: {what}")
+
+    # compile + warm
+    float(fn(*args))
+    float(fn(*args))
+
+    trace_dir = f"/tmp/jaxtrace_{what}_b{B}"
+    with jax.profiler.trace(trace_dir):
+        v = fn(*args)
+        float(v)  # force through the relay
+    time.sleep(1)
+    top_ops(trace_dir)
+
+
+if __name__ == "__main__":
+    main()
