@@ -135,7 +135,7 @@ def main():
     # a variant that leaves params unchanged is loop-invariant inside the
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
-    def ablated_step(weights, symmetric=False):
+    def ablated_step(weights, symmetric=False, monitors=True):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -143,6 +143,7 @@ def main():
             knn_k=loss_cfg.knn_k, knn_radius=loss_cfg.knn_radius,
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
             symmetric_smooth_grad=symmetric,
+            monitor_terms=monitors,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -159,13 +160,16 @@ def main():
 
         return step
 
-    for name, w, sym in [
-        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False),
-        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False),
-        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0), False),
-        ("full w/ symmetric_smooth_grad", (10.0, 0.1, 0.1), True),
+    for name, w, sym, mon in [
+        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True),
+        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0), False, True),
+        ("full w/ symmetric_smooth_grad", (10.0, 0.1, 0.1), True, True),
+        # Production-fast path: scatter-free smooth backward + static skip
+        # of monitor-only computations (no scalar logging).
+        ("full, symmetric + monitor_terms off", (10.0, 0.1, 0.1), True, False),
     ]:
-        t, _ = timed_scan(ablated_step(w, sym))(
+        t, _ = timed_scan(ablated_step(w, sym, mon))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

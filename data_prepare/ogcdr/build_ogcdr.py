@@ -208,14 +208,19 @@ def get_walls(xz_range, wall_height):
             else:
                 w = box((WALL_THICKNESS, wall_height, xz_range[1]))
             w.vertices[:, 1] += GROUND_LEVEL - w.vertices[:, 1].min()
+            # Coordinate axis the wall moves along (z for the xz_range[0]-wide
+            # walls, x otherwise) vs its extent index in the 2-vector
+            # xz_range ([x_extent, z_extent] — reference build_ogcdr.py
+            # get_walls moves by xz_range[1] along z, xz_range[0] along x).
             move_ax = 2 if axis == 0 else 0
+            extent = xz_range[1 - axis]
             if side == 0:
                 w.vertices[:, move_ax] += (
-                    -w.vertices[:, move_ax].min() - xz_range[move_ax] / 2.0
+                    -w.vertices[:, move_ax].min() - extent / 2.0
                 )
             else:
                 w.vertices[:, move_ax] += (
-                    -w.vertices[:, move_ax].max() + xz_range[move_ax] / 2.0
+                    -w.vertices[:, move_ax].max() + extent / 2.0
                 )
             out.append(w)
     return out
@@ -228,13 +233,14 @@ def get_ground(xz_range):
     return g
 
 
-def sample_pointcloud(meshes, walls, ground, xz_range, keep_background):
+def sample_pointcloud(meshes, walls, ground, xz_range, keep_background,
+                      n_point=N_SAMPLE_POINT):
     n_object = len(meshes)
     if keep_background:
         meshes = meshes + [ground] + walls
     areas = np.array([m.area for m in meshes])
     areas = areas / areas.sum()
-    n_points = [int(a * N_SAMPLE_POINT) for a in areas]
+    n_points = [int(a * n_point) for a in areas]
 
     points, segms = [], []
     for i, mesh in enumerate(meshes):
@@ -257,25 +263,44 @@ def sample_pointcloud(meshes, walls, ground, xz_range, keep_background):
     return points[fps_idx], segms[fps_idx]
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("data_root", type=str)
     parser.add_argument("--keep_background", default=False, action="store_true")
-    args = parser.parse_args()
+    # Dry-run / smoke overrides (not in the reference): generate a tiny
+    # subset to validate the full pipeline without the real ShapeNet meshes.
+    parser.add_argument("--dataset_size", type=int, default=DATASET_SIZE,
+                        help="rooms per room type (default %d)" % DATASET_SIZE)
+    parser.add_argument("--room_types", type=str, default=None,
+                        help="comma-separated indices into N_OBJECTS "
+                             "(default: all)")
+    parser.add_argument("--n_sample_point", type=int, default=N_SAMPLE_POINT,
+                        help="surface samples before FPS")
+    parser.add_argument("--splits_root", type=str, default=None,
+                        help="override the raw_splits directory")
+    args = parser.parse_args(argv)
 
     src_dir = osp.join(args.data_root, "ShapeNet_mesh")
     save_dir = osp.join(args.data_root, "data")
     save_mesh_dir = osp.join(args.data_root, "mesh")
     os.makedirs(save_dir, exist_ok=True)
     os.makedirs(save_mesh_dir, exist_ok=True)
-    splits_root = osp.join(osp.dirname(osp.abspath(__file__)), "raw_splits")
+    splits_root = args.splits_root or osp.join(
+        osp.dirname(osp.abspath(__file__)), "raw_splits"
+    )
+    room_types = (
+        [int(t) for t in args.room_types.split(",")]
+        if args.room_types else range(len(N_OBJECTS))
+    )
 
     np.random.seed(0)
     random.seed(0)
-    n_rooms = [int(p * DATASET_SIZE) for p in SPLIT_PERCENTAGES]
+    n_rooms = [max(int(p * args.dataset_size), 1 if p else 0)
+               for p in SPLIT_PERCENTAGES]
     split_lsts = {s: [] for s in SPLIT_NAMES}
 
-    for type_id, n_object in enumerate(N_OBJECTS):
+    for type_id in room_types:
+        n_object = N_OBJECTS[type_id]
         room_id = 0
         for split_id, split_name in enumerate(SPLIT_NAMES):
             model_files = {
@@ -349,7 +374,7 @@ def main():
                 for fid in range(N_FRAME):
                     points, segms = sample_pointcloud(
                         mesh_seq[fid], walls, ground, item["xz_ground_range"],
-                        args.keep_background,
+                        args.keep_background, n_point=args.n_sample_point,
                     )
                     np.save(osp.join(save_path, "pc_%02d.npy" % fid), points)
                     np.save(osp.join(save_path, "segm_%02d.npy" % fid), segms)

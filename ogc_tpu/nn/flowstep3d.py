@@ -190,19 +190,28 @@ class FlowSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, fps_idx=None, train: bool = True,
-                 bn_momentum=0.1, group_idx=None):
+                 bn_momentum=0.1, group_idx=None, precomputed_split=None):
         """
         :param xyz: (B, N, 3); :param features: (B, N, C) or None.
         :param group_idx: optional precomputed (B, N, >=nsample) KNN table of
             xyz against itself (only valid on identity-npoint modules); the
             first `nsample` columns are used, skipping the KNN search.
+        :param precomputed_split: optional (raw, center_in) gather shared by
+            several modules over the same (xyz, features, idx) — only with
+            group_idx.
         :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx).
         """
         if group_idx is not None:
             assert self.npoint in (None, -1, xyz.shape[1])
-            grouped, split = self._grouped_inputs(
-                xyz, xyz, group_idx[..., : self.nsample], features
-            )
+            if precomputed_split is not None:
+                # Caller-shared raw gather (e.g. the GRU's convz/convr group
+                # the IDENTICAL (xyz, hx) with the same indices — one gather
+                # serves both).
+                grouped, split = None, precomputed_split
+            else:
+                grouped, split = self._grouped_inputs(
+                    xyz, xyz, group_idx[..., : self.nsample], features
+                )
             h = _NormedConvStack(
                 tuple(self.mlp), self.use_instance_norm, self.use_act
             )(grouped, train=train, bn_momentum=bn_momentum, split_first=split)

@@ -77,20 +77,38 @@ class SAModuleMSG(nn.Module):
                 axis=-1,
             )
 
+        # With several scales, gather the neighborhood ONCE (unclamped,
+        # k_max) and apply each scale's radius clamp as a row-select on the
+        # gathered tensor: gather(where(d>r, i0, i)) == where(d>r, row0,
+        # rows), and the select costs a fraction of a second row-gather.
+        raw_all = None
+        if use_split and len(self.nsamples) > 1:
+            raw_all = ops.group(src, idx)  # (B, M, k_max, 3+C)
+
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             if self.npoint is not None:
                 d = dist[..., :nsample]
                 i = idx[..., :nsample]
-                if radius is not None:
-                    i = jnp.where(d > radius, i[..., :1], i)
                 if use_split:
-                    raw = ops.group(src, i)
+                    if raw_all is not None:
+                        raw = raw_all[..., :nsample, :]
+                        if radius is not None:
+                            raw = jnp.where(
+                                (d > radius)[..., None], raw_all[..., :1, :],
+                                raw,
+                            )
+                    else:
+                        if radius is not None:
+                            i = jnp.where(d > radius, i[..., :1], i)
+                        raw = ops.group(src, i)
                     h = SharedMLP(tuple(mlp), norm=self.norm)(
                         None, split_first=(raw, center_in)
                     )
                     outs.append(jnp.max(h, axis=2))
                     continue
+                if radius is not None:
+                    i = jnp.where(d > radius, i[..., :1], i)
                 grouped, _ = ops.group_with_idx(
                     xyz, new_xyz, i, features, use_xyz=self.use_xyz
                 )  # (B, M, S, 3+C)

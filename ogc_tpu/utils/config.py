@@ -4,9 +4,35 @@
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Any, Dict
 
 import yaml
+
+
+def _apply_compute_dtype(configs: Dict[str, Any]) -> None:
+    """Activate the bf16 perf mode from YAML (`compute_dtype: bf16`) or the
+    OGC_COMPUTE_DTYPE env var — one hook wires all entry scripts.
+
+    bf16 halves the HBM traffic of the grouped MLP stacks and enables the
+    raw-gather split Dense path (nn/flowstep3d.py); params, norm statistics,
+    positions/flows, and neighbor-search distances all stay f32.  Default
+    (unset) is full f32 — the reference-parity mode.
+    """
+    dt = os.environ.get("OGC_COMPUTE_DTYPE") or configs.get("compute_dtype")
+    if not dt:
+        return
+    import jax.numpy as jnp
+
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    dt = str(dt).lower()
+    if dt in ("bf16", "bfloat16"):
+        set_compute_dtype(jnp.bfloat16)
+    elif dt in ("f32", "float32", "none"):
+        set_compute_dtype(None)
+    else:
+        raise ValueError(f"compute_dtype must be bf16 or f32, got {dt!r}")
 
 
 def load_config_into_args(args: argparse.Namespace) -> argparse.Namespace:
@@ -15,6 +41,7 @@ def load_config_into_args(args: argparse.Namespace) -> argparse.Namespace:
         configs = yaml.load(f, Loader=yaml.FullLoader)
     for k, v in configs.items():
         args.__dict__[k] = v
+    _apply_compute_dtype(configs)
     return args
 
 

@@ -91,3 +91,27 @@ def test_train_then_test_cli(sapien_cfg, cli_env):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "AveragePrecision@50" in r.stdout
     assert "PanopticQuality@50" in r.stdout
+
+
+def test_compute_dtype_hook(tmp_path):
+    """`compute_dtype: bf16` in YAML (or OGC_COMPUTE_DTYPE) flips the MLP
+    compute dtype through the shared config loader."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ogc_tpu.nn.layers import compute_dtype, set_compute_dtype
+    from ogc_tpu.utils.config import load_config_into_args
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("compute_dtype: bf16\nfoo: 1\n")
+    args = argparse.Namespace(config=str(cfg))
+    try:
+        load_config_into_args(args)
+        assert args.foo == 1
+        assert compute_dtype() == jnp.bfloat16
+    finally:
+        set_compute_dtype(None)
+    cfg.write_text("foo: 2\n")
+    load_config_into_args(argparse.Namespace(config=str(cfg)))
+    assert compute_dtype() is None

@@ -81,3 +81,49 @@ Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0
     uvd = calib.project_rect_to_image(rect)
     np.testing.assert_allclose(uvd[0, 2], 10.0)
     np.testing.assert_allclose(uvd[0, 0], 600 + 40 / 10.0, atol=1e-6)
+
+
+def test_ogcdr_generator_dry_run(tmp_path):
+    """End-to-end dry run of the OGC-DR room generator on synthetic box
+    'ShapeNet' meshes: placement, dynamics, walls/ground, surface sampling,
+    FPS — the full pipeline minus the real meshes (reference:
+    data_prepare/ogcdr/build_ogcdr.py)."""
+    import build_ogcdr as G
+
+    # Fake ShapeNet: one box model per class, plus matching split lists.
+    splits = tmp_path / "splits"
+    src = tmp_path / "root" / "ShapeNet_mesh"
+    rng = np.random.RandomState(0)
+    for cl in G.CLASSES:
+        (splits / cl).mkdir(parents=True)
+        for split in G.SPLIT_NAMES:
+            (splits / cl / f"{split}.lst").write_text("m0\n")
+        d = src / cl / "m0"
+        d.mkdir(parents=True)
+        b = box(tuple(0.5 + 0.5 * rng.rand(3)))
+        b.export(str(d / "model.obj"))
+
+    G.main([
+        str(tmp_path / "root"),
+        "--dataset_size", "2",
+        "--room_types", "4",          # n_object = 4 (fastest type)
+        "--n_sample_point", "4096",
+        "--splits_root", str(splits),
+    ])
+
+    data = tmp_path / "root" / "data"
+    names = (data / "train.lst").read_text().strip().split("\n")
+    assert names and names[0]
+    for fid in range(G.N_FRAME):
+        pc = np.load(str(data / names[0] / f"pc_{fid:02d}.npy"))
+        segm = np.load(str(data / names[0] / f"segm_{fid:02d}.npy"))
+        pose = np.load(str(data / names[0] / f"pose_{fid:02d}.npy"))
+        assert pc.shape == (G.N_SAMPLE_POINT_FPS, 3)
+        assert segm.shape == (G.N_SAMPLE_POINT_FPS,)
+        assert set(np.unique(segm)) <= set(range(1, 5))
+        assert pose.shape == (4, 4, 4)
+        assert np.isfinite(pc).all()
+    # meshes + meta saved too
+    mesh_dir = tmp_path / "root" / "mesh" / names[0]
+    assert (mesh_dir / "meta.pkl").exists()
+    assert (mesh_dir / "ground.obj").exists()

@@ -21,22 +21,20 @@ def top_ops(trace_dir, n=45):
     assert files, f"no xplane under {trace_dir}"
     pd = ProfileData.from_file(files[-1])
     totals = {}
-    nlines = 0
     for plane in pd.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
-            nlines += 1
+            if line.name != "XLA Ops":
+                continue  # sync op stream only; async DMAs overlap compute
             for ev in line.events:
-                dur = ev.duration_ns
-                name = ev.name
-                totals[name] = totals.get(name, 0.0) + dur
-    print(f"# planes parsed, {nlines} lines")
-    items = sorted(totals.items(), key=lambda kv: -kv[1])
-    tot = sum(totals.values())
-    print(f"total event time: {tot/1e6:.2f} ms")
-    for name, dur in items[:n]:
-        print(f"{dur/1e6:9.3f} ms  {name[:110]}")
+                d, c = totals.get(ev.name, (0.0, 0))
+                totals[ev.name] = (d + ev.duration_ns, c + 1)
+    items = sorted(totals.items(), key=lambda kv: -kv[1][0])
+    tot = sum(d for d, _ in totals.values())
+    print(f"total sync op time: {tot/1e6:.2f} ms ({len(totals)} distinct ops)")
+    for name, (dur, cnt) in items[:n]:
+        print(f"{dur/1e6:9.3f} ms x{cnt:<3d} {name[:130]}")
 
 
 def main():
