@@ -48,8 +48,13 @@ def fit_motion_svd_batch(
     valid = (w_sum[:, 0] > 1e-12)
 
     safe = jnp.maximum(w_sum, 1e-12)
-    pc1_mean = jnp.einsum("bnd,bn->bd", pc1, w) / safe  # (B, 3)
-    pc2_mean = jnp.einsum("bnd,bn->bd", pc2, w) / safe
+    # HIGHEST precision throughout: the TPU default (single-pass bf16)
+    # quantizes scene-scale coordinates (~30 m on KITTI) to ~0.125 m in
+    # these products — centroids, R composition, and t would all carry
+    # that error into the rigid fit (reference computes in full f32).
+    hp = jax.lax.Precision.HIGHEST
+    pc1_mean = jnp.einsum("bnd,bn->bd", pc1, w, precision=hp) / safe
+    pc2_mean = jnp.einsum("bnd,bn->bd", pc2, w, precision=hp) / safe
 
     pc1_c = pc1 - pc1_mean[:, None, :]
     pc2_c = pc2 - pc2_mean[:, None, :]
@@ -64,15 +69,15 @@ def fit_motion_svd_batch(
 
     u, s, vt = jnp.linalg.svd(S_safe, full_matrices=True)
     v = jnp.swapaxes(vt, -1, -2)
-    R0 = jnp.einsum("bij,bkj->bik", v, u)  # v @ u^T
+    R0 = jnp.einsum("bij,bkj->bik", v, u, precision=hp)  # v @ u^T
     det = jnp.linalg.det(R0)
     # Reflection fix: flip the last singular direction when det < 0.
     diag = jnp.stack(
         [jnp.ones_like(det), jnp.ones_like(det), det], axis=-1
     )  # (B, 3)
-    R = jnp.einsum("bij,bj,bkj->bik", v, diag, u)
+    R = jnp.einsum("bij,bj,bkj->bik", v, diag, u, precision=hp)
 
-    t = pc2_mean - jnp.einsum("bij,bj->bi", R, pc1_mean)
+    t = pc2_mean - jnp.einsum("bij,bj->bi", R, pc1_mean, precision=hp)
 
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     R = jnp.where(valid[:, None, None], R, eye)
@@ -95,7 +100,10 @@ def dynamic_loss(pc: Array, mask: Array, flow: Array, loss_norm: int = 2) -> Arr
     pc2_rep = jnp.repeat(pc2[:, None], K, axis=1).reshape(B * K, N, 3)
 
     R, t = fit_motion_svd_batch(pc_rep, pc2_rep, mask_f)
-    pc_tr = jnp.einsum("bij,bnj->bni", R, pc_rep) + t[:, None, :]
+    pc_tr = jnp.einsum(
+        "bij,bnj->bni", R, pc_rep,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + t[:, None, :]
     pc_tr = jax.lax.stop_gradient(pc_tr.reshape(B, K, N, 3))
 
     blended = jnp.sum(mask_f.reshape(B, K, N)[..., None] * pc_tr, axis=1)
@@ -258,9 +266,14 @@ def invariance_loss(
         return jnp.mean(jnp.linalg.norm(pred - target, ord=loss_norm, axis=-1))
 
     perm2 = match_mask_by_iou(mask1, mask2)
-    target1 = jax.lax.stop_gradient(jnp.einsum("bij,bnj->bni", perm2, mask2))
+    hp = jax.lax.Precision.HIGHEST  # exact permutation application
+    target1 = jax.lax.stop_gradient(
+        jnp.einsum("bij,bnj->bni", perm2, mask2, precision=hp)
+    )
     perm1 = match_mask_by_iou(mask2, mask1)
-    target2 = jax.lax.stop_gradient(jnp.einsum("bij,bnj->bni", perm1, mask1))
+    target2 = jax.lax.stop_gradient(
+        jnp.einsum("bij,bnj->bni", perm1, mask1, precision=hp)
+    )
     return distance(mask1, target1) + distance(mask2, target2)
 
 
@@ -289,10 +302,18 @@ def rank_loss(mask: Array, ns_iters: int = 24) -> Array:
     scale = jnp.trace(gram, axis1=-2, axis2=-1)[..., None, None] + 1e-6
     a = gram / scale + 1e-9 * eye
 
+    # HIGHEST precision on the K x K iteration matmuls: the TPU default
+    # (single-pass bf16) accumulates enough error over ~24 Newton-Schulz
+    # steps to diverge to NaN (observed on-chip via the rank monitor; CPU
+    # tests never see it).  These are 10x10 matmuls — free at any precision.
+    mm = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST
+    )
+
     def body(_, yz):
         y, z = yz
-        t = 0.5 * (3.0 * eye - z @ y)
-        return y @ t, t @ z
+        t = 0.5 * (3.0 * eye - mm(z, y))
+        return mm(y, t), mm(t, z)
 
     z0 = jnp.broadcast_to(eye, a.shape)
     y, _ = jax.lax.fori_loop(0, ns_iters, body, (a, z0))

@@ -40,7 +40,10 @@ def _rigid_project(pc: Array, flow: Array, mask_kn: Array) -> Array:
     flow_rep = jnp.repeat(flow[:, None], K, axis=1).reshape(B * K, N, 3)
 
     R, t = fit_motion_svd_batch(pc_rep, pc_rep + flow_rep, mask_rep)
-    pc_tr = jnp.einsum("bij,bnj->bni", R, pc_rep) + t[:, None, :]
+    pc_tr = jnp.einsum(
+        "bij,bnj->bni", R, pc_rep,
+        precision=jax.lax.Precision.HIGHEST,  # scene-scale coords
+    ) + t[:, None, :]
     pc_tr = pc_tr.reshape(B, K, N, 3)
     return jnp.einsum("bkn,bkni->bni", mask_kn, pc_tr) - pc
 

@@ -1,0 +1,134 @@
+"""On-TPU end-to-end smoke: the full round-alternation pipeline
+(train_seg R1 -> oa_icp --save -> train_seg R2 -> test_seg) on a synthetic
+SAPIEN fixture, through the real CLIs on the real chip (Pallas kernels,
+approximate neighbor paths, optional bf16 mode).
+
+The pytest suite runs the same pipeline on CPU (tests/test_pipeline_e2e.py);
+this validates the TPU execution path.  Run manually (ONE TPU process at a
+time):
+
+    python tools/tpu_e2e_smoke.py [--bf16] [--n_points 512]
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import yaml
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, osp.join(REPO, "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true",
+                    help="run in the bf16 compute mode")
+    ap.add_argument("--n_points", type=int, default=512)
+    ap.add_argument("--keep", action="store_true", help="keep the tmp dir")
+    args = ap.parse_args()
+
+    from synth import make_sapien_root
+
+    tmp = tempfile.mkdtemp(prefix="ogc_tpu_smoke_")
+    root = osp.join(tmp, "MBS_SAPIEN")
+    make_sapien_root(osp.join(root, "mbs-shapepart"), n_scenes=4,
+                     n_points=args.n_points)
+    make_sapien_root(osp.join(root, "mbs-sapien"), n_scenes=2,
+                     n_points=args.n_points)
+
+    # Seed "flowstep3d" predictions with GT flows (what test_flow.py --save
+    # produces), both splits — mirrors tests/test_pipeline_e2e.py.
+    from ogc_tpu.data.sapien import SapienDataset
+
+    view_sels = [[0, 1], [1, 0], [1, 2], [2, 1], [2, 3], [3, 2]]
+    pf_dir = osp.join(root, "mbs-shapepart", "flow_preds", "flowstep3d")
+    os.makedirs(pf_dir, exist_ok=True)
+    with open(pf_dir + ".json", "w") as f:
+        json.dump({"view_sel": view_sels}, f)
+    for split in ("train", "val"):
+        seed_set = SapienDataset(
+            osp.join(root, "mbs-shapepart"), split=split, view_sels=view_sels
+        )
+        for sid in range(0, len(seed_set), len(view_sels)):
+            flows = []
+            for k in range(len(view_sels)):
+                _, _, fl, _ = seed_set[sid + k]
+                flows.append(fl[0])
+            seed_set._save_predflow(
+                np.stack(flows, 0), save_root=pf_dir,
+                batch_size=len(view_sels), n_frame=len(view_sels),
+                offset=sid // len(view_sels),
+            )
+
+    cfg = {
+        "dataset": "sapien",
+        "save_path": osp.join(tmp, "ckpt", "sapien_unsup"),
+        "random_seed": 10,
+        "data": {"root": root, "decentralize": False,
+                 "aug_transform_args": None},
+        "predflow_path": "flowstep3d",
+        "aug_transform_epoch": 9999,
+        "ignore_npoint_thresh": 0,
+        "epochs": 2,
+        "batch_size": 4,
+        "lr": 1.0e-3, "lr_decay": 0.7, "lr_clip": 1.0e-5,
+        "decay_step": 200000, "weight_decay": 0.0,
+        "segnet": {"n_slot": 8, "n_point": args.n_points, "use_xyz": True,
+                   "n_transformer_layer": 2, "transformer_embed_dim": 128,
+                   "transformer_input_pos_enc": False},
+        "loss": {
+            "weights": [10.0, 0.1, 0.0], "start_steps": [0, 0, 0],
+            "dynamic_loss_params": {"loss_norm": 2},
+            "smooth_loss_params": {
+                "w_knn": 3.0, "w_ball_q": 1.0,
+                "knn_loss_params": {"k": 8, "radius": 0.1, "loss_norm": 1},
+                "ball_q_loss_params": {"k": 16, "radius": 0.2, "loss_norm": 1},
+            },
+            "invariance_loss_params": {"loss_norm": 2},
+        },
+    }
+    if args.bf16:
+        cfg["compute_dtype"] = "bf16"
+    cfg_path = osp.join(tmp, "smoke.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ)  # NO OGC_PLATFORM override: run on the TPU
+    env["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache"
+
+    def run(*cmd):
+        print("::", " ".join(cmd), flush=True)
+        r = subprocess.run([sys.executable, *cmd], cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=3000)
+        sys.stdout.write(r.stdout[-2500:])
+        sys.stdout.flush()
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-5000:])
+            raise SystemExit(f"FAILED: {cmd}")
+        return r.stdout
+
+    run("train_seg.py", cfg_path, "--round", "1")
+    run("oa_icp.py", cfg_path, "--split", "train", "--round", "1", "--save",
+        "--test_batch_size", "6")
+    run("oa_icp.py", cfg_path, "--split", "val", "--round", "1", "--save",
+        "--test_batch_size", "6")
+    run("train_seg.py", cfg_path, "--round", "2")
+    out = run("test_seg.py", cfg_path, "--split", "test", "--round", "2")
+    assert "AveragePrecision@50" in out, out[-500:]
+    print("TPU E2E SMOKE OK%s  (dir: %s)" %
+          (" [bf16]" if args.bf16 else "", tmp), flush=True)
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,50 @@ def main():
         params = jax.jit(net.init)(jax.random.PRNGKey(0), pc1, pc1)
         fn = jax.jit(lambda p, x: jnp.sum(net.apply(p, x, x)))
         args = (params, pc)
+    elif what == "train":
+        from ogc_tpu.losses.seg_unsup import OGCLossConfig
+        from ogc_tpu.models.segnet import MaskFormer3D
+        from ogc_tpu.parallel import mesh as pmesh
+        from ogc_tpu.train.seg import SegTrainer, make_optimizer
+
+        loss_cfg = OGCLossConfig(
+            weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
+            smooth_w_knn=3.0, smooth_w_ball_q=1.0,
+            knn_k=32, knn_radius=1.0, ball_q_k=64, ball_q_radius=2.0,
+        )
+        net = MaskFormer3D(
+            n_slot=10, n_point=N, arch="kitti",
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+        params = jax.jit(net.init)(jax.random.PRNGKey(0), pc1, pc1)
+        optimizer = make_optimizer(1e-3, 0.7, 1e-5, 200000, B)
+        trainer = SegTrainer(
+            model=net, params=params, loss_cfg=loss_cfg, optimizer=optimizer,
+            aug_transform_epoch=9999, ignore_npoint_thresh=50,
+            exp_base="/tmp/ogc_trace_train",
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+        )
+        pcs = jnp.asarray(
+            30.0 * np.random.RandomState(0).rand(B, 2, N, 3).astype(np.float32)
+        )
+        flows = jnp.asarray(
+            0.5 * np.random.RandomState(1).randn(B, 2, N, 3).astype(np.float32)
+        )
+
+        def step(p, o, pcs, flows):
+            # Return the updated state too: returning only the loss lets
+            # XLA dead-code-eliminate the whole backward + Adam update.
+            p2, o2, ld, _ = trainer._train_step_impl(
+                p, o, pcs, flows, jnp.int32(10**6), False
+            )
+            return p2, o2, ld["sum"]
+
+        _step = jax.jit(step)
+
+        def fn(p, o, pcs, flows):
+            return _step(p, o, pcs, flows)[2]
+
+        args = (trainer.params, trainer.opt_state, pcs, flows)
     else:
         raise SystemExit(f"unknown: {what}")
 
