@@ -321,14 +321,88 @@ class FlowEmbedding(nn.Module):
 
         # Fused single row-gather of [pos2, feature2].
         g = ops.group(jnp.concatenate([pos2, feature2], axis=-1), idx)
-        pos_diff = g[..., :3] - pos1[:, :, None, :]
-        feat2_grouped = g[..., 3:]  # (B, N, S, C)
-        feat1_rep = jnp.broadcast_to(
-            feature1[:, :, None, :],
-            feat2_grouped.shape[:3] + (feature1.shape[-1],),
-        )
-        x = jnp.concatenate([pos_diff, feat2_grouped, feat1_rep], axis=-1)
-        x = _NormedConvStack(tuple(self.mlp), self.use_instance_norm)(
-            x, train=train, bn_momentum=bn_momentum
-        )
+        x = _FlowEmbedStack(
+            tuple(self.mlp), self.use_instance_norm, name="_NormedConvStack_0"
+        )(g, pos1, feature1, train=train, bn_momentum=bn_momentum)
         return pos1, jnp.max(x, axis=2)
+
+
+class _RawKernel(nn.Module):
+    """Bare Dense kernel parameter — same path/shape/init as the kernel an
+    nn.Dense(use_bias=False) child would create, but directly readable so a
+    caller can apply column blocks of it separately (see _FlowEmbedStack)."""
+
+    shape: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+
+class _FlowEmbedStack(nn.Module):
+    """_NormedConvStack specialization for the FlowEmbedding input
+    concat([pos_diff, feat2_grouped, feat1_rep]) — parameter tree identical
+    (named _NormedConvStack_0 by the caller; children Dense_i / norm_i).
+
+    bf16 compute mode applies the first layer by column blocks of the same
+    (3+C2+C1, c0) kernel:
+
+        y = raw @ W[:3+C2] - pos1 @ W[:3] + feat1 @ W[3+C2:]
+
+    so the raw gather output feeds the matmul directly and the feat1 term is
+    a per-POINT (B, N, c0) product — the (B, N, S, 259) concat + feat1
+    broadcast materialization disappears.  The raw/pos1 products run in
+    f32/HIGH (scene-scale coordinates; see _NormedConvStack).  f32 mode
+    keeps the reference-shaped fused computation exactly.
+    """
+
+    mlp: Sequence[int]
+    use_instance_norm: bool = False
+
+    def _norm(self, i):
+        if self.use_instance_norm:
+            return InstanceNorm(name=f"InstanceNorm_{i}")
+        return SchedulableBatchNorm(name=f"SchedulableBatchNorm_{i}")
+
+    @nn.compact
+    def __call__(self, g, pos1, feat1, train: bool = True, bn_momentum=0.1):
+        from ogc_tpu.nn.layers import compute_dtype
+
+        c2 = g.shape[-1] - 3
+        c1 = feat1.shape[-1]
+        W = _RawKernel((3 + c2 + c1, self.mlp[0]), name="Dense_0")()
+
+        if compute_dtype() == jnp.bfloat16:
+            hp = jax.lax.Precision.HIGH
+            x = jnp.einsum("bnsi,ij->bnsj", g, W[: 3 + c2], precision=hp)
+            point = (
+                jnp.einsum("bni,ij->bnj", feat1, W[3 + c2:], precision=hp)
+                - jnp.einsum("bni,ij->bnj", pos1, W[:3], precision=hp)
+            )
+            x = (x + point[:, :, None, :]).astype(jnp.bfloat16)
+        else:
+            pos_diff = g[..., :3] - pos1[:, :, None, :]
+            feat1_rep = jnp.broadcast_to(
+                feat1[:, :, None, :], g.shape[:3] + (c1,)
+            )
+            full = jnp.concatenate([pos_diff, g[..., 3:], feat1_rep], axis=-1)
+            x = jnp.einsum("bnsi,ij->bnsj", full, W)
+
+        x = self._norm(0)(x) if self.use_instance_norm else self._norm(0)(
+            x, use_running_average=not train, momentum=bn_momentum
+        )
+        x = nn.relu(x)
+        for i, c in enumerate(self.mlp[1:], start=1):
+            x = nn.Dense(
+                c, use_bias=False, dtype=compute_dtype(), name=f"Dense_{i}"
+            )(x)
+            if self.use_instance_norm:
+                x = self._norm(i)(x)
+            else:
+                x = self._norm(i)(
+                    x, use_running_average=not train, momentum=bn_momentum
+                )
+            x = nn.relu(x)
+        return x.astype(jnp.float32)

@@ -182,3 +182,39 @@ def test_split_grouped_dense_matches_fused_path():
     rms_fu = np.sqrt(((fu - ref) ** 2).mean())
     assert rms_sp <= rms_fu * 1.2, (rms_sp, rms_fu)
     assert np.abs(sp - fu).max() < 0.1
+
+
+def test_flow_embedding_split_bf16_close_to_f32():
+    """bf16 FlowEmbedding applies the first layer by kernel column blocks
+    (raw-gather + per-point feat1/pos1 terms); must stay close to the f32
+    fused path with an identical param tree."""
+    import numpy as np
+
+    from ogc_tpu.nn.flowstep3d import FlowEmbedding
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    rng = np.random.RandomState(3)
+    p1 = jnp.asarray(30.0 * rng.rand(2, 128, 3).astype(np.float32))
+    p2 = jnp.asarray(p1 + 0.1 * rng.randn(2, 128, 3).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    m = FlowEmbedding(radius=1.0, nsample=8, mlp=(32, 32))
+
+    p32 = m.init(jax.random.PRNGKey(0), p1, p2, f1, f2)
+    (_, ref), _ = m.apply(p32, p1, p2, f1, f2, train=False,
+                          mutable=["batch_stats"])
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        p16 = m.init(jax.random.PRNGKey(0), p1, p2, f1, f2)
+        assert jax.tree_util.tree_structure(p32) == \
+            jax.tree_util.tree_structure(p16)
+        # identical init values too (path-derived RNG)
+        for a, b in zip(jax.tree_util.tree_leaves(p32),
+                        jax.tree_util.tree_leaves(p16)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        (_, out), _ = m.apply(p32, p1, p2, f1, f2, train=False,
+                              mutable=["batch_stats"])
+    finally:
+        set_compute_dtype(None)
+    d = np.abs(np.asarray(out) - np.asarray(ref))
+    assert d.max() < 0.25 and d.mean() < 0.02, (d.max(), d.mean())
