@@ -285,7 +285,6 @@ class FlowStep3D(nn.Module):
         return feats
 
     def _gru(self, h, x, pc, train, bnm, group_idx=None):
-        from ogc_tpu import ops
         from ogc_tpu.nn.layers import compute_dtype
 
         hx = jnp.concatenate([h, x], axis=-1)
@@ -293,15 +292,10 @@ class FlowStep3D(nn.Module):
         # indices: share one raw gather between them (bf16 split path).
         split = None
         if group_idx is not None and compute_dtype() == jnp.bfloat16:
+            from ogc_tpu.nn.layers import raw_split_inputs
+
             k = self.gru_convz.nsample
-            raw = ops.group(
-                jnp.concatenate([pc, hx], axis=-1), group_idx[..., :k]
-            )
-            center_in = jnp.concatenate(
-                [pc, jnp.zeros(pc.shape[:2] + (hx.shape[-1],), pc.dtype)],
-                axis=-1,
-            )
-            split = (raw, center_in)
+            split = raw_split_inputs(pc, pc, hx, group_idx[..., :k])
         z = jax.nn.sigmoid(
             self.gru_convz(pc, hx, train=train, bn_momentum=bnm,
                            group_idx=group_idx, precomputed_split=split)[1]

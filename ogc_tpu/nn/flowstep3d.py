@@ -171,18 +171,9 @@ class FlowSAModule(nn.Module):
             and features is not None
             and compute_dtype() == jnp.bfloat16
         ):
-            raw = ops.group(jnp.concatenate([xyz, features], axis=-1), idx)
-            center_in = jnp.concatenate(
-                [
-                    new_xyz,
-                    jnp.zeros(
-                        new_xyz.shape[:2] + (features.shape[-1],),
-                        new_xyz.dtype,
-                    ),
-                ],
-                axis=-1,
-            )
-            return None, (raw, center_in)
+            from ogc_tpu.nn.layers import raw_split_inputs
+
+            return None, raw_split_inputs(xyz, new_xyz, features, idx)
         grouped, _ = ops.group_with_idx(
             xyz, new_xyz, idx, features, use_xyz=self.use_xyz
         )

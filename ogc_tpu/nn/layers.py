@@ -137,6 +137,26 @@ class SharedMLP(nn.Module):
         return x
 
 
+def raw_split_inputs(xyz, new_xyz, features, idx):
+    """(raw, center_in) pair for the raw-gather split first Dense (see
+    PointwiseConv.split / flowstep3d._NormedConvStack): one fused gather of
+    [xyz || features] rows plus the per-point center correction input
+    [center || zeros].  Shared by FlowSAModule and the GRU's convz/convr."""
+    from ogc_tpu import ops
+
+    raw = ops.group(jnp.concatenate([xyz, features], axis=-1), idx)
+    center_in = jnp.concatenate(
+        [
+            new_xyz,
+            jnp.zeros(
+                new_xyz.shape[:2] + (features.shape[-1],), new_xyz.dtype
+            ),
+        ],
+        axis=-1,
+    )
+    return raw, center_in
+
+
 class MLP(nn.Module):
     """Linear -> ReLU -> Linear (the transformer feed-forward / input MLP
     shape used in utils/transformer_util.py:24-28, 79-83)."""

@@ -17,19 +17,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data") -> Mesh:
+    """1-D data mesh.  The default device list is jax.devices() — under
+    multi-host initialization (jax.distributed.initialize) that is already
+    the GLOBAL device list, so the same call covers fleet runs: collectives
+    ride ICI within a host/pod slice and DCN across hosts."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (axis,))
 
 
-def make_global_mesh(axis: str = "data") -> Mesh:
-    """1-D mesh over ALL devices of ALL processes (multi-host fleet runs).
+def _spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices from more than one process."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
 
-    `jax.devices()` is already the global device list under multi-host
-    initialization (jax.distributed.initialize); on a single host this is
-    identical to make_mesh().  Collectives ride ICI within a host/pod slice
-    and DCN across hosts — the same jitted program covers both.
-    """
-    return make_mesh(jax.devices(), axis)
+
+def _local_device_count(mesh: Mesh) -> int:
+    """Number of THIS process's devices in the mesh (= the mesh size on a
+    single host / sub-mesh)."""
+    pi = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pi)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
@@ -51,7 +56,7 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     the standard multi-host input pipeline (each host feeds only the shards
     its devices own; no cross-host data movement)."""
     sharding = batch_sharding(mesh, axis)
-    if jax.process_count() > 1:
+    if _spans_processes(mesh):
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)
@@ -75,10 +80,14 @@ def shard_padded(mesh: Mesh, arrays: Sequence[Any], axis: str = "data"):
     parallelism on a non-divisible final batch (the reference is single-
     device and never faces one); the padded duplicates give that batch's
     mean a slight duplicate weighting, bounded by (pad/true_b)."""
-    # Pad to the PER-PROCESS device count: under multi-host each process
-    # holds only its local slice (see shard_batch), so divisibility is
-    # required w.r.t. the devices this process feeds.
-    n_dev = mesh.devices.size // jax.process_count()
+    # Pad to the PER-PROCESS device count of THIS mesh: under multi-host
+    # each process holds only its local slice (see shard_batch), so
+    # divisibility is required w.r.t. the devices this process feeds.  For
+    # single-host (sub-)meshes this is just the mesh size.
+    n_dev = (
+        _local_device_count(mesh) if _spans_processes(mesh)
+        else mesh.devices.size
+    )
     b = arrays[0].shape[0]
     pad_to = -(-b // n_dev) * n_dev
     if pad_to != b:

@@ -23,16 +23,25 @@ import jax
 # concurrently and a crash loses at most the newest state (the previous
 # .ckpt stays intact thanks to the tmp+rename atomic write).
 _pending_save: Optional[threading.Thread] = None
+_pending_error: Optional[BaseException] = None
 _pending_lock = threading.Lock()
 
 
 def wait_pending_saves() -> None:
-    """Block until the last async save_checkpoint has hit disk."""
-    global _pending_save
+    """Block until the last async save_checkpoint has hit disk.
+
+    Re-raises any exception the background writer hit (e.g. ENOSPC) — a
+    failed save must not be silent: training would otherwise continue and a
+    later resume would load a stale checkpoint with no error signal."""
+    global _pending_save, _pending_error
     with _pending_lock:
         t, _pending_save = _pending_save, None
     if t is not None:
         t.join()
+    with _pending_lock:
+        err, _pending_error = _pending_error, None
+    if err is not None:
+        raise RuntimeError("async checkpoint write failed") from err
 
 
 def _resolve(path: str) -> str:
@@ -42,7 +51,9 @@ def _resolve(path: str) -> str:
 
 
 def _write_atomic(path: str, data: bytes) -> None:
-    tmp = path + ".tmp"
+    # Per-process tmp name: on a shared filesystem, several hosts writing
+    # the same path must not interleave bytes in one tmp file.
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
@@ -63,7 +74,14 @@ def save_checkpoint(
     on a background thread — training continues while the checkpoint is
     written (orbax-style async checkpointing for large-scale runs; the
     msgpack single-file format is kept for interop with the eval loaders).
+    Failures surface on the next save/load via wait_pending_saves.
+
+    Multi-host: parameters are replicated, so only process 0 writes (every
+    host racing on one shared path would corrupt it); the call is a no-op
+    on other processes.
     """
+    if jax.process_index() != 0:
+        return
     state = jax.device_get(state)
 
     def _do_save():
@@ -72,13 +90,21 @@ def save_checkpoint(
         if is_best:
             shutil.copyfile(path, bestname + ".ckpt")
 
+    def _guarded_save():
+        global _pending_error
+        try:
+            _do_save()
+        except BaseException as e:  # surfaced by wait_pending_saves
+            with _pending_lock:
+                _pending_error = e
+
     if not async_save:
         wait_pending_saves()
         _do_save()
         return
     global _pending_save
     wait_pending_saves()
-    t = threading.Thread(target=_do_save, name="ckpt-writer", daemon=False)
+    t = threading.Thread(target=_guarded_save, name="ckpt-writer", daemon=False)
     with _pending_lock:
         _pending_save = t
     t.start()

@@ -19,12 +19,17 @@ def _apply_compute_dtype(configs: Dict[str, Any]) -> None:
     positions/flows, and neighbor-search distances all stay f32.  Default
     (unset) is full f32 — the reference-parity mode.
     """
+    from ogc_tpu.nn.layers import set_compute_dtype
+
     dt = os.environ.get("OGC_COMPUTE_DTYPE") or configs.get("compute_dtype")
     if not dt:
+        # Absent key = the documented f32 default.  Reset explicitly: a
+        # previously-loaded bf16 config must not leak into the next config
+        # load in the same process (and compute_dtype() is read inside
+        # traced module bodies — the jit-cache-pinning footgun class).
+        set_compute_dtype(None)
         return
     import jax.numpy as jnp
-
-    from ogc_tpu.nn.layers import set_compute_dtype
 
     dt = str(dt).lower()
     if dt in ("bf16", "bfloat16"):

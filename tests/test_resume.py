@@ -3,6 +3,7 @@ verify params + optimizer state + epoch round-trip exactly."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from ogc_tpu.data.base import DataLoader
@@ -84,3 +85,20 @@ def test_async_checkpoint_roundtrip(tmp_path):
     out2 = load_train_state(bn, {"model_state": {"w": jnp.zeros(5)}, "epoch": 0})
     assert out2["epoch"] == 3
     wait_pending_saves()  # idempotent
+
+
+def test_async_checkpoint_error_surfaces(tmp_path, monkeypatch):
+    """A failed background write must raise on the next wait/save/load, not
+    vanish into the thread."""
+    import ogc_tpu.utils.checkpoint as C
+
+    def boom(path, data):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(C, "_write_atomic", boom)
+    C.save_checkpoint({"x": np.zeros(3)}, False,
+                      filename=str(tmp_path / "c"), async_save=True)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        C.wait_pending_saves()
+    # slot cleared: subsequent waits are clean
+    C.wait_pending_saves()

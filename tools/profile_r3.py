@@ -88,7 +88,8 @@ def main():
             n_slot=10, n_point=N, arch="kitti",
             n_transformer_layer=2, transformer_embed_dim=128,
         )
-        flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5)
+        flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5,
+                        loc_flow_nn=16, loc_flow_rad=1.5)
         pc1 = jnp.asarray(30.0 * rng.rand(1, N, 3).astype(np.float32))
         seg_params = jax.jit(segnet.init)(jax.random.PRNGKey(0), pc1, pc1)
         fvars = jax.jit(lambda k, a, b: flownet.init(k, a, b, a, b, 2))(
@@ -111,7 +112,8 @@ def main():
         from ogc_tpu.models.flownet import FlowStep3D
 
         N, B = 8192, 8
-        flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5)
+        flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5,
+                        loc_flow_nn=16, loc_flow_rad=1.5)
         pc1 = jnp.asarray(30.0 * rng.rand(1, N, 3).astype(np.float32))
         fvars = jax.jit(lambda k, a, b: flownet.init(k, a, b, a, b, 2))(
             jax.random.PRNGKey(1), pc1, pc1
@@ -183,7 +185,8 @@ def section_flow_small_b():
         n_slot=10, n_point=N, arch="kitti",
         n_transformer_layer=2, transformer_embed_dim=128,
     )
-    flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5)
+    flownet = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5,
+                        loc_flow_nn=16, loc_flow_rad=1.5)
     pc1 = jnp.asarray(30.0 * rng.rand(1, N, 3).astype(np.float32))
     seg_params = jax.jit(segnet.init)(jax.random.PRNGKey(0), pc1, pc1)
     fvars = jax.jit(lambda k, a, b: flownet.init(k, a, b, a, b, 2))(

@@ -61,7 +61,8 @@ def main():
     if what == "flow":
         from ogc_tpu.models.flownet import FlowStep3D
 
-        net = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5)
+        net = FlowStep3D(npoint=N, arch="kitti", k_decay_fact=0.5,
+                        loc_flow_nn=16, loc_flow_rad=1.5)
         fvars = jax.jit(lambda k, a, b: net.init(k, a, b, a, b, 2))(
             jax.random.PRNGKey(1), pc1, pc1
         )
