@@ -129,7 +129,11 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     # are processed in sequential batch chunks (fleet batch sizes like
     # B=128 x N=8192 stay on the kernel instead of silently falling back
     # to the 10-16x slower XLA loop).
-    if jax.default_backend() != "cpu" and N % 128 == 0:
+    # N >= 256: at N == 128 (a single lane tile) Mosaic fails to legalize
+    # the kernel's argmax lowering ("unrealized_conversion_cast
+    # vector<8x128xf32> -> i32", hit by the flow encoder's 128-point level
+    # in the on-TPU training smoke); the XLA loop is fast at such sizes.
+    if jax.default_backend() != "cpu" and N % 128 == 0 and N >= 256:
         from ogc_tpu.ops.pallas_kernels import fps_pallas_chunked
 
         return fps_pallas_chunked(xyz, npoint)

@@ -26,10 +26,63 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, osp.join(REPO, "tests"))
 
 
+def flow_smoke(args, tmp, root, env, run):
+    """train_flow -> test_flow --save on the synthetic fixture: validates
+    the flow training path (chamfer + smooth losses, GRU backward through
+    the scanned refinement) and flow extraction on the real chip."""
+    cfg = {
+        "dataset": "sapien",
+        "save_path": osp.join(tmp, "ckpt", "flow", "sapien_unsup"),
+        "random_seed": 10,
+        "data": {
+            "root": root, "aug_transform": True,
+            "aug_transform_args": {
+                "scale_low": 0.95, "scale_high": 1.05,
+                "degree_range": [0, 10, 0],
+                "shift_range": [0.05, 0.05, 0.05],
+                "aug_pc2": {"degree_range": [0, 0, 0],
+                            "shift_range": [0.01, 0.01, 0.01]},
+            },
+        },
+        "flownet": {"npoint": args.n_points, "use_instance_norm": False,
+                    "loc_flow_nn": 8, "loc_flow_rad": 0.1,
+                    "k_decay_fact": 1.0},
+        "model_iters": 2,
+        "epochs": 1,
+        "batch_size": 4,
+        "lr": 1.0e-3, "lr_decay": 0.5, "lr_clip": 1.0e-5,
+        "decay_step": 400000, "weight_decay": 0.0,
+        "bn_momentum": 0.9, "bn_decay": 0.5,
+        "loss": {
+            "weights": [0.75, 0.25],
+            "iters_w": [0.5, 0.3],
+            "chamfer_loss_params": {"loss_norm": 2},
+            "smooth_loss_params": {
+                "w_knn": 3.0, "w_ball_q": 1.0,
+                "knn_loss_params": {"k": 4, "radius": 0.05, "loss_norm": 1},
+                "ball_q_loss_params": {"k": 8, "radius": 0.1,
+                                       "loss_norm": 1},
+            },
+        },
+    }
+    if args.bf16:
+        cfg["compute_dtype"] = "bf16"
+    cfg_path = osp.join(tmp, "flow_smoke.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    run("train_flow.py", cfg_path)
+    out = run("test_flow.py", cfg_path, "--split", "test",
+              "--test_batch_size", "6", "--test_model_iters", "2", "--save")
+    assert "EPE" in out or "epe" in out, out[-500:]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="run in the bf16 compute mode")
+    ap.add_argument("--mode", choices=("seg", "flow"), default="seg",
+                    help="seg: round-alternation pipeline; flow: "
+                         "train_flow + test_flow --save")
     ap.add_argument("--n_points", type=int, default=512)
     ap.add_argument("--keep", action="store_true", help="keep the tmp dir")
     args = ap.parse_args()
@@ -114,16 +167,19 @@ def main():
             raise SystemExit(f"FAILED: {cmd}")
         return r.stdout
 
-    run("train_seg.py", cfg_path, "--round", "1")
-    run("oa_icp.py", cfg_path, "--split", "train", "--round", "1", "--save",
-        "--test_batch_size", "6")
-    run("oa_icp.py", cfg_path, "--split", "val", "--round", "1", "--save",
-        "--test_batch_size", "6")
-    run("train_seg.py", cfg_path, "--round", "2")
-    out = run("test_seg.py", cfg_path, "--split", "test", "--round", "2")
-    assert "AveragePrecision@50" in out, out[-500:]
-    print("TPU E2E SMOKE OK%s  (dir: %s)" %
-          (" [bf16]" if args.bf16 else "", tmp), flush=True)
+    if args.mode == "flow":
+        flow_smoke(args, tmp, root, env, run)
+    else:
+        run("train_seg.py", cfg_path, "--round", "1")
+        run("oa_icp.py", cfg_path, "--split", "train", "--round", "1",
+            "--save", "--test_batch_size", "6")
+        run("oa_icp.py", cfg_path, "--split", "val", "--round", "1",
+            "--save", "--test_batch_size", "6")
+        run("train_seg.py", cfg_path, "--round", "2")
+        out = run("test_seg.py", cfg_path, "--split", "test", "--round", "2")
+        assert "AveragePrecision@50" in out, out[-500:]
+    print("TPU E2E SMOKE OK [%s%s]  (dir: %s)" %
+          (args.mode, " bf16" if args.bf16 else "", tmp), flush=True)
     if not args.keep:
         import shutil
 
