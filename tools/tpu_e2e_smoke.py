@@ -178,6 +178,12 @@ def main():
         run("train_seg.py", cfg_path, "--round", "2")
         out = run("test_seg.py", cfg_path, "--split", "test", "--round", "2")
         assert "AveragePrecision@50" in out, out[-500:]
+        # Multi-frame co-segmentation voting (the one CLI the CPU suite
+        # only covers at the library level).
+        out = run("vote.py", cfg_path, "--split", "test", "--round", "2",
+                  "--use_gt_flow", "--test_batch_size", "8",
+                  "--time_window_size", "2")
+        assert "AveragePrecision@50" in out or "mIoU" in out, out[-500:]
     print("TPU E2E SMOKE OK [%s%s]  (dir: %s)" %
           (args.mode, " bf16" if args.bf16 else "", tmp), flush=True)
     if not args.keep:
