@@ -84,15 +84,64 @@ def shard_padded(mesh: Mesh, arrays: Sequence[Any], axis: str = "data"):
     # each process holds only its local slice (see shard_batch), so
     # divisibility is required w.r.t. the devices this process feeds.  For
     # single-host (sub-)meshes this is just the mesh size.
-    n_dev = (
-        _local_device_count(mesh) if _spans_processes(mesh)
-        else mesh.devices.size
-    )
     b = arrays[0].shape[0]
-    pad_to = -(-b // n_dev) * n_dev
+    if _spans_processes(mesh):
+        # make_array_from_process_local_data infers the GLOBAL shape from
+        # each process's local shape — every process must therefore pad its
+        # final (possibly uneven) batch to the SAME local size, agreed on
+        # via an allgather of the local true counts.
+        from jax.experimental import multihost_utils
+
+        n_dev = _local_device_count(mesh)
+        all_b = np.asarray(
+            multihost_utils.process_allgather(np.int32(b))
+        ).reshape(-1)
+        pad_to = -(-int(all_b.max()) // n_dev) * n_dev
+    else:
+        n_dev = mesh.devices.size
+        pad_to = -(-b // n_dev) * n_dev
     if pad_to != b:
         arrays = pad_batch(tuple(arrays), pad_to)
     return tuple(shard_batch(mesh, a, axis) for a in arrays), b
+
+
+def global_batch_size(mesh: Mesh, b_local: int) -> int:
+    """Process-consistent GLOBAL true batch size for a shard_padded batch.
+
+    Single-process meshes: the local count is the global count.  Multi-host:
+    allgather the per-process true counts and sum — every process gets the
+    identical scalar (jitted steps keyed on such scalars must receive the
+    same value everywhere or the SPMD programs diverge)."""
+    if not _spans_processes(mesh):
+        return int(b_local)
+    from jax.experimental import multihost_utils
+
+    all_b = np.asarray(
+        multihost_utils.process_allgather(np.int32(b_local))
+    ).reshape(-1)
+    return int(all_b.sum())
+
+
+def local_values(arr: Any, true_b: Optional[int] = None) -> np.ndarray:
+    """Host-fetch the process-local axis-0 rows of a (possibly multi-host
+    sharded) array, sliced back to this process's true batch count.
+
+    Jitted steps over a process-spanning mesh return GLOBAL arrays whose
+    remote shards are not addressable — np.asarray on them raises.  This
+    assembles only the addressable shards, ordered by their global axis-0
+    offset, which under shard_batch's process-local assembly is exactly the
+    rows this process fed in."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if s.index else 0,
+        )
+        out = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    else:
+        out = np.asarray(arr)
+    if true_b is not None:
+        out = out[:true_b]
+    return out
 
 
 def pad_batch(batch: Any, target_b: int) -> Any:

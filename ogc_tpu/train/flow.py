@@ -206,4 +206,9 @@ class FlowTrainer:
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
                 self.save(is_best, epoch)
+        # Surface an ENOSPC-style failure of the FINAL async write before
+        # returning — nothing else would ever check it (ADVICE r1).
+        from ogc_tpu.utils.checkpoint import wait_pending_saves
+
+        wait_pending_saves()
         return best_loss

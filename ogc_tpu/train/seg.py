@@ -20,7 +20,11 @@ import optax
 from ogc_tpu.losses.seg_unsup import OGCLossConfig, ogc_loss
 from ogc_tpu.metrics.seg import accumulate_eval_results, calculate_PQ_F1
 from ogc_tpu.parallel import mesh as pmesh
-from ogc_tpu.utils.checkpoint import load_train_state, save_checkpoint
+from ogc_tpu.utils.checkpoint import (
+    load_train_state,
+    save_checkpoint,
+    wait_pending_saves,
+)
 from ogc_tpu.utils.meters import AverageMeter, RunningAverageMeter
 
 
@@ -166,13 +170,16 @@ class SegTrainer:
             segms = segms[:, :: self.frame_stride]
             flows = flows[:, :: self.frame_stride]
         (pcs_d, flows_d), b = self._shard(pcs, flows)
+        # Sample counter for start_steps gating must be process-consistent
+        # (same SPMD program on every host) and counts GLOBAL samples.
+        b_glob = pmesh.global_batch_size(self.mesh, b)
         self.params, self.opt_state, ld, masks = self._train_step(
             self.params, self.opt_state, pcs_d, flows_d,
-            jnp.int32(it * b), aug=aug_transform,
+            jnp.int32(it * b_glob), aug=aug_transform,
         )
         ld = {k: float(v) for k, v in ld.items()}
         segm = segms[:, 0]
-        mask = np.asarray(masks[:b, 0])
+        mask = pmesh.local_values(masks, b)[:, 0]
         return ld, segm, mask
 
     def eval_epoch(self, loader) -> Tuple[float, Dict[str, float], Dict[str, list]]:
@@ -194,7 +201,8 @@ class SegTrainer:
             meter.append_loss({k: float(v) for k, v in ld.items()})
 
             iou, matched, _, n_gt = accumulate_eval_results(
-                segms[:, 0], np.asarray(masks[:b, 0]), self.ignore_npoint_thresh
+                segms[:, 0], pmesh.local_values(masks, b)[:, 0],
+                self.ignore_npoint_thresh,
             )
             ap["Pred_IoU"].append(iou)
             ap["Pred_Matched"].append(matched)
@@ -281,4 +289,7 @@ class SegTrainer:
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
                 self.save(is_best, epoch)
+        # Surface an ENOSPC-style failure of the FINAL async write before
+        # returning — nothing else would ever check it (ADVICE r1).
+        wait_pending_saves()
         return best_loss

@@ -92,8 +92,8 @@ class SupSegTrainer:
             self.params, self.opt_state, pc, gt_mask, valid
         )
         ld = {k: float(v) for k, v in ld.items()}
-        segm = np.asarray(gt_mask)[:b].argmax(2)
-        return ld, segm, np.asarray(mask)[:b]
+        segm = pmesh.local_values(gt_mask, b).argmax(2)
+        return ld, segm, pmesh.local_values(mask, b)
 
     def eval_epoch(self, loader):
         meter = AverageMeter()
@@ -107,9 +107,9 @@ class SupSegTrainer:
             total_loss += float(loss) * b
             count += b
             meter.append_loss({k: float(v) for k, v in ld.items()})
-            segm = np.asarray(gt_d)[:b].argmax(2)
+            segm = pmesh.local_values(gt_d, b).argmax(2)
             iou, matched, _, n_gt = accumulate_eval_results(
-                segm, np.asarray(mask)[:b], self.ignore_npoint_thresh
+                segm, pmesh.local_values(mask, b), self.ignore_npoint_thresh
             )
             ap["Pred_IoU"].append(iou)
             ap["Pred_Matched"].append(matched)
@@ -167,4 +167,9 @@ class SupSegTrainer:
                 is_best = val_loss < best_loss
                 best_loss = min(best_loss, val_loss)
                 self.save(is_best, epoch)
+        # Surface an ENOSPC-style failure of the FINAL async write before
+        # returning — nothing else would ever check it (ADVICE r1).
+        from ogc_tpu.utils.checkpoint import wait_pending_saves
+
+        wait_pending_saves()
         return best_loss

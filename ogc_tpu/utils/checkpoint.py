@@ -54,9 +54,17 @@ def _write_atomic(path: str, data: bytes) -> None:
     # Per-process tmp name: on a shared filesystem, several hosts writing
     # the same path must not interleave bytes in one tmp file.
     tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        # Don't leave orphan tmp files behind on a failed write (ENOSPC...).
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def save_checkpoint(
