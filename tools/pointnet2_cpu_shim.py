@@ -120,6 +120,45 @@ def group_points_wrapper(B, C, N, nfeatures, nsample, features, idx, output):
     _fill(output, out)
 
 
+def gather_points_grad_wrapper(B, C, N, npoint, grad_out, idx, grad_features):
+    """Scatter-add (B, C, npoint) grads back to (B, C, N) — the shim's
+    deterministic equivalent of the atomicAdd backward
+    (sampling_gpu.cu:46-83)."""
+    g = _np(grad_out)                     # (B, C, npoint)
+    i = _np(idx).astype(np.int64)         # (B, npoint)
+    out = np.zeros((B, C, N), np.float32)
+    for b in range(B):
+        np.add.at(out[b], (slice(None), i[b]), g[b])
+    _fill(grad_features, out)
+
+
+def three_interpolate_grad_wrapper(B, c, n, m, grad_out, idx, weight,
+                                   grad_features):
+    """Backward of three_interpolate: weighted scatter-add of (B, c, n)
+    grads into the (B, c, m) source (interpolate_gpu.cu:193-232)."""
+    g = _np(grad_out)                     # (B, c, n)
+    i = _np(idx).astype(np.int64)         # (B, n, 3)
+    w = _np(weight).astype(np.float32)    # (B, n, 3)
+    out = np.zeros((B, c, m), np.float32)
+    for b in range(B):
+        for k in range(3):
+            np.add.at(out[b], (slice(None), i[b, :, k]), g[b] * w[b, :, k])
+    _fill(grad_features, out)
+
+
+def group_points_grad_wrapper(B, C, N, npoint, nsample, grad_out, idx,
+                              grad_features):
+    """Backward of grouping: scatter-add (B, C, npoint, nsample) grads into
+    (B, C, N) (group_points_gpu.cu:8-45)."""
+    g = _np(grad_out)                     # (B, C, npoint, nsample)
+    i = _np(idx).astype(np.int64)         # (B, npoint, nsample)
+    out = np.zeros((B, C, N), np.float32)
+    for b in range(B):
+        np.add.at(out[b], (slice(None), i[b].reshape(-1)),
+                  g[b].reshape(C, -1))
+    _fill(grad_features, out)
+
+
 def ball_query_wrapper(B, N, npoint, radius, nsample, new_xyz, xyz, idx):
     centers, pts = _np(new_xyz), _np(xyz)
     out = np.zeros((B, npoint, nsample), np.int32)
