@@ -27,7 +27,7 @@ def main():
     from ogc_tpu.utils.checkpoint import load_checkpoint
     from ogc_tpu.utils.config import load_config_into_args
     from ogc_tpu.utils.gpf import fps_downsample
-    from ogc_tpu.utils.icp import icp
+    from ogc_tpu.utils.icp import icp, icp_xla
     from ogc_tpu.utils.meters import AverageMeter
 
     parser = argparse.ArgumentParser()
@@ -40,6 +40,9 @@ def main():
                         help="Use approximate neighbor search in "
                              "evaluation (faster; default exact "
                              "for metric parity)")
+    parser.add_argument("--host_preproc", default=False, action="store_true",
+                        help="Run ICP ego-motion with the host numpy oracle "
+                             "instead of the jitted on-device loop")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -63,7 +66,8 @@ def main():
     print("Loaded weights from", args.save_path)
 
     data_root = args.data["root"]
-    mapping_path = (
+    # YAML-overridable mapping (tests point it at a synthetic fixture).
+    mapping_path = args.data.get("mapping_path") or (
         "data_prepare/kittisf/splits/val.txt"
         if args.split == "val"
         else "data_prepare/kittisf/splits/train.txt"
@@ -110,8 +114,15 @@ def main():
         pc1_fps = pc1_icp[fps_downsample(pc1_icp, n_point_icp)]
         pc2_fps = pc2_icp[fps_downsample(pc2_icp, n_point_icp)]
 
-        # Ego-motion from ICP on background points.
-        T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+        # Ego-motion from ICP on background points — by default the jitted
+        # on-device loop (one call; SURVEY §3.5), numpy with --host_preproc.
+        if args.host_preproc:
+            T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+        else:
+            T = np.asarray(icp_xla(
+                jnp.asarray(pc1_fps[None]), jnp.asarray(pc2_fps[None]),
+                max_iterations=max_icp_iters,
+            ))[0]
         rot, transl = T[:3, :3], T[:3, 3].T
         flow_pred_org = (pc1_org @ rot.T + transl - pc1_org).astype(np.float32)
 

@@ -41,8 +41,12 @@ def main():
     from ogc_tpu.models.flownet import FlowStep3D
     from ogc_tpu.utils.checkpoint import load_checkpoint
     from ogc_tpu.utils.config import load_config_into_args
-    from ogc_tpu.utils.gpf import fps_downsample, ground_plane_fitting
-    from ogc_tpu.utils.icp import icp
+    from ogc_tpu.utils.gpf import (
+        fps_downsample,
+        ground_plane_fitting,
+        ground_plane_fitting_xla,
+    )
+    from ogc_tpu.utils.icp import icp, icp_xla
     from ogc_tpu.utils.meters import AverageMeter
 
     np.random.seed(0)
@@ -60,6 +64,10 @@ def main():
                         help="Use approximate neighbor search in "
                              "evaluation (faster; default exact "
                              "for metric parity)")
+    parser.add_argument("--host_preproc", default=False, action="store_true",
+                        help="Run GPF/ICP preprocessing with the host numpy "
+                             "oracles instead of the batched XLA path "
+                             "(parity/debug)")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -83,7 +91,9 @@ def main():
     print("Loaded weights from", args.save_path)
 
     data_root = args.data["root"]
-    mapping_path = (
+    # YAML-overridable mapping (tests point it at a synthetic fixture); the
+    # default is the reference's fixed split file path.
+    mapping_path = args.data.get("mapping_path") or (
         "data_prepare/waymo/splits/val.txt"
         if args.split == "val"
         else "data_prepare/waymo/splits/train.txt"
@@ -129,14 +139,42 @@ def main():
                 )
             continue
 
-        # Ground removal: height threshold OR GPF.
+        # Ground removal: height threshold OR GPF.  Default is the batched
+        # XLA path (SURVEY §3.5): clouds padded to a 4096 bucket, the plane
+        # fitted on an FPS subcloud mask, all reductions on-device in one
+        # jit call per bucket size; --host_preproc keeps the per-scene
+        # numpy oracle.
         def not_ground(pc):
             g_h = pc[:, 1] < 0.3
-            g_gpf = ground_plane_fitting(
-                pc, n_sample_point=n_point_gpf, n_iter=n_gpf_iter,
-                n_lpr=n_gpf_lpr, thresh_seed=thresh_seed,
-                thresh_dist=thresh_dist,
-            ).astype(bool)
+            if args.host_preproc:
+                g_gpf = ground_plane_fitting(
+                    pc, n_sample_point=n_point_gpf, n_iter=n_gpf_iter,
+                    n_lpr=n_gpf_lpr, thresh_seed=thresh_seed,
+                    thresh_dist=thresh_dist,
+                ).astype(bool)
+            else:
+                N = pc.shape[0]
+                Nb = max(4096, -(-N // 4096) * 4096)
+                # Pad by repeating the first point: FPS never prefers
+                # duplicates, and padding is masked out of every reduction.
+                pcp = np.concatenate(
+                    [pc, np.repeat(pc[:1], Nb - N, axis=0)], 0
+                ).astype(np.float32)
+                valid = np.zeros(Nb, bool)
+                valid[:N] = True
+                fit_valid = None
+                if N > n_point_gpf:
+                    fps_idx = np.asarray(ops.furthest_point_sample(
+                        jnp.asarray(pcp[None]), n_point_gpf
+                    ))[0]
+                    fv = np.zeros(Nb, bool)
+                    fv[fps_idx] = True
+                    fit_valid = jnp.asarray(fv[None])
+                g_gpf = np.asarray(ground_plane_fitting_xla(
+                    jnp.asarray(pcp[None]), valid=jnp.asarray(valid[None]),
+                    fit_valid=fit_valid, n_iter=n_gpf_iter, n_lpr=n_gpf_lpr,
+                    thresh_seed=thresh_seed, thresh_dist=thresh_dist,
+                ))[0, :N].astype(bool)
             return np.logical_not(np.logical_or(g_h, g_gpf))
 
         not_ground1 = not_ground(pc1_org)
@@ -157,7 +195,16 @@ def main():
                 pc1_icp, pc2_icp = pc1, pc2
             pc1_fps = pc1_icp[fps_downsample(pc1_icp, n_point_icp)]
             pc2_fps = pc2_icp[fps_downsample(pc2_icp, n_point_icp)]
-            T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+            if args.host_preproc:
+                T, _, _ = icp(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+            else:
+                # Jitted batched ICP: the 50-iteration NN/Kabsch loop runs
+                # entirely on-device (one call) instead of 50 host KD-tree
+                # round-trips per scene.
+                T = np.asarray(icp_xla(
+                    jnp.asarray(pc1_fps[None]), jnp.asarray(pc2_fps[None]),
+                    max_iterations=max_icp_iters,
+                ))[0]
             rot, transl = T[:3, :3], T[:3, 3]
 
         flow_pred_org = (pc1_org @ rot.T + transl - pc1_org).astype(np.float32)

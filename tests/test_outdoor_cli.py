@@ -1,0 +1,162 @@
+"""Outdoor flow-extraction CLI e2e tests (CPU subprocesses).
+
+test_flow_waymo.py / test_flow_kittisf.py run their full per-scene pipeline
+(GPF ground removal, ICP ego-motion, FOV bounding, FPS, flownet, 3-NN
+upsample, flow composition, predflow save) on synthetic fixtures — these
+paths were previously covered only at the library level.  Exercises the
+batched-XLA preprocessing default (icp_xla / ground_plane_fitting_xla,
+SURVEY §3.5) end-to-end through the real CLIs.
+"""
+
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def _run_cli(script, cfg_path, *flags, timeout=1500):
+    env = dict(os.environ)
+    env["OGC_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, script, cfg_path, *flags],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    return r.stdout
+
+
+def _save_flow_ckpt(path, npoint):
+    """Init a tiny flownet and write its variables where the CLI loads
+    weights from.  arch="kitti" — the outdoor CLIs hardcode it."""
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.models.flownet import FlowStep3D
+    from ogc_tpu.utils.checkpoint import save_checkpoint
+
+    net = FlowStep3D(npoint=npoint, arch="kitti", loc_flow_nn=4,
+                     loc_flow_rad=1.5, k_decay_fact=0.5)
+    dummy = jnp.zeros((1, npoint, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), dummy, dummy, dummy, dummy, 2)
+    os.makedirs(osp.dirname(path), exist_ok=True)
+    save_checkpoint(jax.device_get(variables), False, filename=path)
+    return net
+
+
+def _flownet_cfg(npoint):
+    # arch is keyed on dataset in the CLIs ("kitti"); the test overrides via
+    # npoint-compatible sapien arch is NOT reachable from the CLI flag set,
+    # so use the kitti arch with a small npoint (all dims divide npoint=128).
+    return {"npoint": npoint, "use_instance_norm": False,
+            "loc_flow_nn": 4, "loc_flow_rad": 1.5}
+
+
+@pytest.fixture(scope="module")
+def waymo_fixture(tmp_path_factory):
+    """Waymo-layout fixture with a flat ground plane + elevated objects so
+    GPF removes a plausible subset."""
+    root = str(tmp_path_factory.mktemp("waymo_cli"))
+    rng = np.random.RandomState(0)
+    seqs = ["seq_a"]
+    n_frames, n_ground, n_obj = 3, 400, 300
+    for seq in seqs:
+        d = osp.join(root, "data", seq)
+        os.makedirs(d, exist_ok=True)
+        for t in range(n_frames):
+            ground = np.stack(
+                [40 * rng.rand(n_ground) - 20, 0.02 * rng.randn(n_ground),
+                 30 * rng.rand(n_ground) + 3], 1)
+            obj = np.stack(
+                [20 * rng.rand(n_obj) - 10, 1.0 + 1.5 * rng.rand(n_obj),
+                 25 * rng.rand(n_obj) + 4], 1)
+            pc = np.concatenate([ground, obj], 0).astype(np.float32)
+            n = pc.shape[0]
+            segm = np.concatenate(
+                [np.zeros(n_ground), rng.randint(1, 3, n_obj)]
+            ).astype(np.int32)
+            np.save(osp.join(d, "pc_%04d.npy" % t), pc)
+            np.save(osp.join(d, "segm_%04d.npy" % t), segm)
+            np.save(osp.join(d, "semantic_segm_%04d.npy" % t), segm)
+            np.save(osp.join(d, "pose_%04d.npy" % t), np.eye(4))
+            if t > 0:
+                np.save(osp.join(d, "flow_%04d_%04d.npy" % (t, t - 1)),
+                        0.05 * rng.randn(n, 3).astype(np.float32))
+    mapping = osp.join(root, "train.txt")
+    with open(mapping, "w") as f:
+        f.write("\n".join(s + ".tfrecord" for s in seqs))
+    return root, mapping
+
+
+@pytest.mark.slow
+def test_flow_waymo_cli_xla_preproc(waymo_fixture, tmp_path):
+    root, mapping = waymo_fixture
+    npoint = 128
+    save_path = str(tmp_path / "ckpt" / "flow_waymo")
+    _save_flow_ckpt(save_path, npoint)
+    cfg = {
+        "dataset": "waymo",
+        "save_path": save_path,
+        "data": {"root": root, "mapping_path": mapping},
+        "flownet": _flownet_cfg(npoint),
+    }
+    cfg_path = str(tmp_path / "waymo.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = _run_cli("test_flow_waymo.py", cfg_path, "--split", "train",
+                   "--test_model_iters", "2", "--bound", "--save",
+                   "--approx_knn")
+    assert "Evaluation on waymo-train" in out, out[-800:]
+    # Saved predictions exist and are finite full-resolution flows.
+    save_dir = osp.join(root, "flow_preds/flowstep3d_gpf_bound")
+    saved = [osp.join(dp, f) for dp, _, fs in os.walk(save_dir)
+             for f in fs if f.endswith(".npy")]
+    assert saved, "no predflows written"
+    arr = np.load(sorted(saved)[0])
+    assert arr.ndim == 2 and arr.shape[1] == 3
+    assert np.isfinite(arr).all()
+
+
+@pytest.mark.slow
+def test_flow_kittisf_cli_xla_preproc(tmp_path):
+    base = str(tmp_path / "kittisf")
+    # Full-resolution layout (downsampled=False): processed/<id>/{pc1, pc2,
+    # segm}.npy.  Points span y in [0, 20): the CLI's height-based ground
+    # filter (y < -1.4 in BOTH frames) removes nothing.
+    rng = np.random.RandomState(0)
+    ids = ["%06d" % i for i in range(2)]
+    for i in ids:
+        d = osp.join(base, "processed", i)
+        os.makedirs(d, exist_ok=True)
+        pc1 = (20 * rng.rand(256, 3)).astype(np.float32)
+        np.save(osp.join(d, "pc1.npy"), pc1)
+        np.save(osp.join(d, "pc2.npy"),
+                pc1 + 0.2 * rng.randn(256, 3).astype(np.float32))
+        np.save(osp.join(d, "segm.npy"), rng.randint(0, 3, 256))
+    os.makedirs(osp.join(base, "splits"), exist_ok=True)
+    val_map = osp.join(base, "splits", "val.txt")
+    with open(val_map, "w") as f:
+        f.write("\n".join(ids))
+    npoint = 128
+    save_path = str(tmp_path / "ckpt" / "flow_kittisf")
+    _save_flow_ckpt(save_path, npoint)
+    cfg = {
+        "dataset": "kittisf",
+        "save_path": save_path,
+        "data": {"root": base, "mapping_path": val_map},
+        "flownet": _flownet_cfg(npoint),
+    }
+    cfg_path = str(tmp_path / "kittisf.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    out = _run_cli("test_flow_kittisf.py", cfg_path, "--split", "val",
+                   "--test_model_iters", "2", "--save", "--approx_knn")
+    assert "Evaluation on kittisf-val" in out, out[-800:]
+    save_dir = osp.join(base, "flow_preds/flowstep3d")
+    assert os.listdir(save_dir), "no predflows written"

@@ -53,3 +53,122 @@ def test_ground_plane_fitting_separates_ground():
     )
     assert is_ground[:500].mean() > 0.95
     assert is_ground[500:].mean() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Jittable batched preprocessing (SURVEY §3.5) vs the numpy oracles
+# ---------------------------------------------------------------------------
+
+
+def _scene_pair(rng, n=512, scale=20.0, deg=(2.0, 3.0, -2.0)):
+    A = (rng.rand(n, 3) * scale).astype(np.float32)
+    R = Rotation.from_euler("zyx", deg, degrees=True).as_matrix()
+    t = np.array([0.2, -0.1, 0.15])
+    B = (A @ R.T + t).astype(np.float32)
+    return A, B, R, t
+
+
+def test_icp_xla_matches_numpy_icp():
+    """Batched jittable ICP recovers the same transform as the numpy oracle
+    (identical loop semantics: 1-NN -> Kabsch -> apply -> tolerance break)."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.utils.icp import icp_xla
+
+    rng = np.random.RandomState(5)
+    scenes = [_scene_pair(rng, deg=(2, 3, -2)), _scene_pair(rng, deg=(-3, 1, 2))]
+    A = jnp.asarray(np.stack([s[0] for s in scenes]))
+    B = jnp.asarray(np.stack([s[1] for s in scenes]))
+    T_x = np.asarray(icp_xla(A, B, max_iterations=30, tolerance=1e-7))
+    for b, (An, Bn, R, t) in enumerate(scenes):
+        T_np, _, _ = icp(An, Bn, max_iterations=30, tolerance=1e-7)
+        np.testing.assert_allclose(T_x[b], T_np, atol=2e-3)
+        np.testing.assert_allclose(T_x[b][:3, :3], R, atol=2e-3)
+        np.testing.assert_allclose(T_x[b][:3, 3], t, atol=5e-3)
+
+
+def test_icp_xla_convergence_mask_freezes_scenes():
+    """A scene that converges immediately (identical clouds) must not be
+    perturbed by later iterations while the other scene keeps iterating."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.utils.icp import icp_xla
+
+    rng = np.random.RandomState(6)
+    A1, B1, _, _ = _scene_pair(rng)
+    A2 = (rng.rand(512, 3) * 20).astype(np.float32)
+    A = jnp.asarray(np.stack([A2, A1]))
+    B = jnp.asarray(np.stack([A2.copy(), B1]))  # scene 0: identity
+    T = np.asarray(icp_xla(A, B, max_iterations=40, tolerance=1e-6))
+    np.testing.assert_allclose(T[0], np.eye(4), atol=1e-4)
+    err = np.abs(A1 @ T[1][:3, :3].T + T[1][:3, 3] - B1).max()
+    assert err < 0.01, err
+
+
+def test_gpf_xla_matches_numpy():
+    """Batched jittable GPF labels the same ground points as the numpy
+    oracle, including under padding + the FPS fit-subcloud mask."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.utils.gpf import ground_plane_fitting_xla
+
+    rng = np.random.RandomState(7)
+
+    def scene(n_ground, n_obj, tilt=0.0):
+        g = np.stack(
+            [rng.rand(n_ground) * 40, 0.05 * rng.randn(n_ground),
+             rng.rand(n_ground) * 40], 1
+        )
+        g[:, 1] += tilt * g[:, 0] / 40.0
+        o = np.stack(
+            [rng.rand(n_obj) * 40, 1.5 + rng.rand(n_obj) * 2,
+             rng.rand(n_obj) * 40], 1
+        )
+        return np.concatenate([g, o], 0).astype(np.float32)
+
+    s1 = scene(500, 100)
+    s2 = scene(400, 80, tilt=0.1)
+    N = 640  # pad both to one bucket
+    pts = np.zeros((2, N, 3), np.float32)
+    valid = np.zeros((2, N), bool)
+    pts[0, : len(s1)], valid[0, : len(s1)] = s1, True
+    pts[1, : len(s2)], valid[1, : len(s2)] = s2, True
+
+    out = np.asarray(ground_plane_fitting_xla(
+        jnp.asarray(pts), valid=jnp.asarray(valid),
+        n_lpr=50, thresh_seed=0.4, thresh_dist=0.4,
+    ))
+    for b, s in enumerate((s1, s2)):
+        ref = ground_plane_fitting(
+            s, n_sample_point=0, n_lpr=50, thresh_seed=0.4, thresh_dist=0.4
+        )
+        agree = (out[b, : len(s)] == ref).mean()
+        assert agree > 0.99, (b, agree)
+        assert out[b, len(s):].sum() == 0  # padding never labeled ground
+
+
+def test_gpf_xla_retry_ladder():
+    """A cloud whose 0.4-threshold seed set is empty must fall back to a
+    raised threshold instead of failing (reference retry loop,
+    gpf_util.py:47-66) — and a hopeless cloud returns all zeros."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.utils.gpf import ground_plane_fitting_xla
+
+    rng = np.random.RandomState(8)
+    # Two points below (lpr + 0.4), rest far above: first attempts fail the
+    # >= 3 seed check until the ladder lifts the threshold.
+    low = np.array([[0, 0.0, 0], [40, 0.01, 40]], np.float32)
+    high = np.stack(
+        [rng.rand(200) * 40, 0.62 + 0.02 * rng.randn(200),
+         rng.rand(200) * 40], 1
+    ).astype(np.float32)
+    pts = np.concatenate([low, high], 0)[None]
+    out = np.asarray(ground_plane_fitting_xla(
+        jnp.asarray(pts), n_lpr=2, thresh_seed=0.4, thresh_dist=0.4
+    ))[0]
+    ref = ground_plane_fitting(
+        pts[0], n_sample_point=0, n_lpr=2, thresh_seed=0.4, thresh_dist=0.4
+    )
+    agree = (out == ref).mean()
+    assert agree > 0.99, agree
