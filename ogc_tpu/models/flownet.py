@@ -289,11 +289,20 @@ class FlowStep3D(nn.Module):
 
         hx = jnp.concatenate([h, x], axis=-1)
         # convz and convr group the IDENTICAL (pc, hx) with the same
-        # indices: share one raw gather between them (bf16 split path).
+        # indices: share one raw gather between them (bf16 TRAIN split path;
+        # in eval the gates take the source-projected fold path instead —
+        # each gathers its own narrow projected rows, no wide shared gather).
         split = None
-        if group_idx is not None and compute_dtype() == jnp.bfloat16:
+        if group_idx is not None and compute_dtype() == jnp.bfloat16 and train:
             from ogc_tpu.nn.layers import raw_split_inputs
 
+            # The split is keyed on convz's neighborhood but consumed by
+            # convr too — sharing is only sound while both pool over the
+            # same nsample (true for all ARCHS; guard future divergence).
+            assert self.gru_convz.nsample == self.gru_convr.nsample, (
+                "GRU convz/convr nsample mismatch: shared raw-gather split "
+                "would silently pool over the wrong neighborhood"
+            )
             k = self.gru_convz.nsample
             split = raw_split_inputs(pc, pc, hx, group_idx[..., :k])
         z = jax.nn.sigmoid(

@@ -28,7 +28,13 @@ class SchedulableBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = False, momentum=0.1):
+    def __call__(self, x, use_running_average: bool = False, momentum=0.1,
+                 return_affine: bool = False):
+        """`return_affine`: instead of normalizing x, return the eval-mode
+        per-channel affine (k, b) with BN_eval(y) = y * k + b — the classic
+        inference BatchNorm fold (k = scale * rsqrt(var + eps),
+        b = bias - mean * k).  x is only used for its channel count; running
+        stats must be in use."""
         features = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
         scale = self.param("scale", nn.initializers.ones, (features,))
@@ -39,6 +45,11 @@ class SchedulableBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,))
         )
+
+        if return_affine:
+            assert use_running_average
+            k = scale * jax.lax.rsqrt(ra_var.value + self.epsilon)
+            return k, bias - ra_mean.value * k
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -111,10 +122,56 @@ class _NormedConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum=0.1,
-                 split_first=None):
+                 split_first=None, fold_first=None):
         from ogc_tpu.nn.layers import compute_dtype
 
         for i, c in enumerate(self.mlp):
+            if i == 0 and fold_first is not None:
+                # Source-projected grouping (eval + bf16 + BatchNorm only):
+                # apply the first Dense to the N SOURCE points BEFORE the
+                # gather (by linearity, as in the split path — but on the
+                # source list, S x fewer rows), fold the eval-mode BatchNorm
+                # affine into the projection, and gather the narrow bf16
+                # pre-activations.  The (B, M, S, 3+C) f32 gather and the
+                # (B*M*S, 3+C) -> c matmul+norm fusions both disappear; the
+                # grouped tensor is born (B, M, S, c) bf16.  f32-HIGH
+                # projection on the source keeps scene-scale xyz precision
+                # (same rationale as the split path).
+                xyz, new_xyz, feat, idx = fold_first
+                d = nn.Dense(
+                    c, use_bias=False, dtype=None,
+                    precision=jax.lax.Precision.HIGH,
+                )
+                src = (
+                    xyz if feat is None
+                    else jnp.concatenate([xyz, feat], axis=-1)
+                )
+                proj = d(src)  # (B, N, c)
+                cin = (
+                    new_xyz if feat is None
+                    else jnp.concatenate(
+                        [new_xyz,
+                         jnp.zeros(
+                             new_xyz.shape[:2] + (feat.shape[-1],),
+                             new_xyz.dtype,
+                         )],
+                        axis=-1,
+                    )
+                )
+                cproj = d(cin)  # (B, M, c)
+                cd = compute_dtype()
+                if self.use_act:
+                    k_s, b_s = SchedulableBatchNorm()(
+                        proj, use_running_average=True, momentum=bn_momentum,
+                        return_affine=True,
+                    )
+                    g = ops.group((proj * k_s).astype(cd), idx)
+                    cterm = (b_s - cproj * k_s).astype(cd)
+                    x = nn.relu(g + cterm[:, :, None, :])
+                else:
+                    g = ops.group(proj.astype(cd), idx)
+                    x = g - cproj.astype(cd)[:, :, None, :]
+                continue
             if i == 0 and split_first is not None:
                 raw, center_in = split_first
                 # dtype=None: run in the f32 input dtype (precision note
@@ -158,26 +215,31 @@ class FlowSAModule(nn.Module):
     mean_aggr: bool = False
     use_instance_norm: bool = False
 
-    def _grouped_inputs(self, xyz, new_xyz, idx, features):
-        """Prepare the conv-stack input for precomputed neighbor indices:
-        either the fused (rel_xyz || feat) tensor, or — in bf16 compute mode
-        with xyz+features — the raw-gather split form (see _NormedConvStack:
-        the raw gather output feeds the first Dense directly, skipping the
-        XLA rewrite chain around the grouped tensor)."""
+    def _grouped_inputs(self, xyz, new_xyz, idx, features, train=True):
+        """Prepare the conv-stack input for precomputed neighbor indices,
+        returning (grouped, split, fold):
+
+        - eval + bf16 + BatchNorm: `fold` carries (xyz, new_xyz, feat, idx)
+          for the source-projected first layer (_NormedConvStack fold_first —
+          Dense + BN-affine applied to the N source points, gather moved
+          after the projection).
+        - train bf16: the raw-gather split form (Dense on the gathered rows,
+          still skipping the XLA rewrite chains).
+        - otherwise the reference-shaped fused (rel_xyz || feat) tensor.
+        """
         from ogc_tpu.nn.layers import compute_dtype
 
-        if (
-            self.use_xyz
-            and features is not None
-            and compute_dtype() == jnp.bfloat16
-        ):
-            from ogc_tpu.nn.layers import raw_split_inputs
+        if self.use_xyz and compute_dtype() == jnp.bfloat16:
+            if not train and not self.use_instance_norm:
+                return None, None, (xyz, new_xyz, features, idx)
+            if features is not None:
+                from ogc_tpu.nn.layers import raw_split_inputs
 
-            return None, raw_split_inputs(xyz, new_xyz, features, idx)
+                return None, raw_split_inputs(xyz, new_xyz, features, idx), None
         grouped, _ = ops.group_with_idx(
             xyz, new_xyz, idx, features, use_xyz=self.use_xyz
         )
-        return grouped, None
+        return grouped, None, None
 
     @nn.compact
     def __call__(self, xyz, features, fps_idx=None, train: bool = True,
@@ -198,14 +260,15 @@ class FlowSAModule(nn.Module):
                 # Caller-shared raw gather (e.g. the GRU's convz/convr group
                 # the IDENTICAL (xyz, hx) with the same indices — one gather
                 # serves both).
-                grouped, split = None, precomputed_split
+                grouped, split, fold = None, precomputed_split, None
             else:
-                grouped, split = self._grouped_inputs(
-                    xyz, xyz, group_idx[..., : self.nsample], features
+                grouped, split, fold = self._grouped_inputs(
+                    xyz, xyz, group_idx[..., : self.nsample], features, train
                 )
             h = _NormedConvStack(
                 tuple(self.mlp), self.use_instance_norm, self.use_act
-            )(grouped, train=train, bn_momentum=bn_momentum, split_first=split)
+            )(grouped, train=train, bn_momentum=bn_momentum,
+              split_first=split, fold_first=fold)
             out = jnp.mean(h, axis=2) if self.mean_aggr else jnp.max(h, axis=2)
             return xyz, out, fps_idx
         if (
@@ -232,10 +295,13 @@ class FlowSAModule(nn.Module):
         if self.radius is not None:
             nearest = idx[..., :1]
             idx = jnp.where(dist > self.radius, nearest, idx)
-        grouped, split = self._grouped_inputs(xyz, new_xyz, idx, features)
+        grouped, split, fold = self._grouped_inputs(
+            xyz, new_xyz, idx, features, train
+        )
         h = _NormedConvStack(
             tuple(self.mlp), self.use_instance_norm, self.use_act
-        )(grouped, train=train, bn_momentum=bn_momentum, split_first=split)
+        )(grouped, train=train, bn_momentum=bn_momentum,
+          split_first=split, fold_first=fold)
         if self.mean_aggr:
             out = jnp.mean(h, axis=2)
         else:
@@ -310,6 +376,22 @@ class FlowEmbedding(nn.Module):
         nearest = idx[..., :1]
         idx = jnp.where(dist > self.radius, nearest, idx)
 
+        from ogc_tpu.nn.layers import compute_dtype
+
+        if (
+            compute_dtype() == jnp.bfloat16
+            and not train
+            and not self.use_instance_norm
+        ):
+            # Source-projected eval path: first Dense + BN fold applied to
+            # cloud 2's points before the gather (see _FlowEmbedStack).
+            x = _FlowEmbedStack(
+                tuple(self.mlp), self.use_instance_norm,
+                name="_NormedConvStack_0",
+            )(None, pos1, feature1, train=train, bn_momentum=bn_momentum,
+              fold_src=(pos2, feature2, idx))
+            return pos1, jnp.max(x, axis=2)
+
         # Fused single row-gather of [pos2, feature2].
         g = ops.group(jnp.concatenate([pos2, feature2], axis=-1), idx)
         x = _FlowEmbedStack(
@@ -358,12 +440,45 @@ class _FlowEmbedStack(nn.Module):
         return SchedulableBatchNorm(name=f"SchedulableBatchNorm_{i}")
 
     @nn.compact
-    def __call__(self, g, pos1, feat1, train: bool = True, bn_momentum=0.1):
+    def __call__(self, g, pos1, feat1, train: bool = True, bn_momentum=0.1,
+                 fold_src=None):
         from ogc_tpu.nn.layers import compute_dtype
 
-        c2 = g.shape[-1] - 3
+        c2 = (g.shape[-1] if fold_src is None else fold_src[1].shape[-1] + 3) - 3
         c1 = feat1.shape[-1]
         W = _RawKernel((3 + c2 + c1, self.mlp[0]), name="Dense_0")()
+
+        if fold_src is not None:
+            # Source-projected eval path (bf16 + BatchNorm): project cloud
+            # 2's [pos2 || feat2] through the kernel's first column block
+            # BEFORE the gather, fold the eval BatchNorm affine into the
+            # projection, and add the per-POINT feat1/pos1 terms — the
+            # (B, N, S, 3+c2) f32 gather and the grouped matmul disappear.
+            pos2, feat2, idx = fold_src
+            hp = jax.lax.Precision.HIGH
+            src = jnp.concatenate([pos2, feat2], axis=-1)
+            proj2 = jnp.einsum("bmi,ij->bmj", src, W[: 3 + c2], precision=hp)
+            point = (
+                jnp.einsum("bni,ij->bnj", feat1, W[3 + c2:], precision=hp)
+                - jnp.einsum("bni,ij->bnj", pos1, W[:3], precision=hp)
+            )
+            k_s, b_s = self._norm(0)(
+                proj2, use_running_average=True, momentum=bn_momentum,
+                return_affine=True,
+            )
+            cd = jnp.bfloat16
+            gp = ops.group((proj2 * k_s).astype(cd), idx)
+            cterm = (point * k_s + b_s).astype(cd)
+            x = nn.relu(gp + cterm[:, :, None, :])
+            for i, c in enumerate(self.mlp[1:], start=1):
+                x = nn.Dense(
+                    c, use_bias=False, dtype=compute_dtype(), name=f"Dense_{i}"
+                )(x)
+                x = self._norm(i)(
+                    x, use_running_average=not train, momentum=bn_momentum
+                )
+                x = nn.relu(x)
+            return x.astype(jnp.float32)
 
         if compute_dtype() == jnp.bfloat16:
             hp = jax.lax.Precision.HIGH

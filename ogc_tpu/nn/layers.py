@@ -35,13 +35,15 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
-def make_norm(norm: NormSpec):
+def make_norm(norm: NormSpec, name: Optional[str] = None):
     """Instantiate a norm layer from a reference-style spec dict.
 
     Reference: get_norm_layer (utils/nn_util.py:33-42).  Supported:
       None                                    -> identity
       {"class": "GroupNorm", "num_groups": G} -> GroupNorm over channels
       {"class": "BatchNorm"}                  -> BatchNorm (batch_stats col.)
+    `name`: explicit module name (setup()-created instances are otherwise
+    named by attribute, breaking param-path compatibility).
     """
     if norm is None:
         return None
@@ -52,14 +54,14 @@ def make_norm(norm: NormSpec):
         # mean/var reductions in f32 regardless.
         return nn.GroupNorm(
             num_groups=norm["num_groups"], epsilon=1e-5,
-            dtype=_COMPUTE_DTYPE,
+            dtype=_COMPUTE_DTYPE, name=name,
         )
     if cls == "BatchNorm":
         return nn.BatchNorm(
             use_running_average=norm.get("use_running_average", False),
             momentum=norm.get("momentum", 0.9),
             epsilon=1e-5,
-            dtype=_COMPUTE_DTYPE,
+            dtype=_COMPUTE_DTYPE, name=name,
         )
     raise KeyError(f"Unrecognized norm class: {cls}")
 

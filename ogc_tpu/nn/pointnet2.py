@@ -11,10 +11,86 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ogc_tpu import ops
-from ogc_tpu.nn.layers import NormSpec, SharedMLP
+from ogc_tpu.nn.layers import (
+    NormSpec,
+    PointwiseConv,
+    SharedMLP,
+    kaiming_normal,
+    make_norm,
+)
+
+
+class _RawDenseKernel(nn.Module):
+    """Bare kernel parameter with the same path/shape/init as the kernel an
+    nn.Dense(use_bias=False) child named Dense_0 would create — readable
+    before the gather so the projection can move to the source points."""
+
+    shape: Tuple[int, int]
+
+    def setup(self):
+        self.kernel = self.param("kernel", kaiming_normal, self.shape)
+
+    def __call__(self):
+        return self.kernel
+
+
+class _FirstConvParams(nn.Module):
+    """Param-compatible stand-in for the first PointwiseConv of a SharedMLP
+    in the source-projected path: owns Dense_0's kernel (applied by the
+    caller to the SOURCE points) and GroupNorm_0 (applied to the gathered
+    projections)."""
+
+    in_dim: int
+    out_dim: int
+    norm: NormSpec
+
+    def setup(self):
+        self.dense = _RawDenseKernel((self.in_dim, self.out_dim),
+                                     name="Dense_0")
+        self.norm_layer = make_norm(self.norm, name="GroupNorm_0")
+        assert self.norm_layer is not None
+
+    def __call__(self):  # pragma: no cover - params accessed via methods
+        raise NotImplementedError
+
+
+class _FoldScaleMLP(nn.Module):
+    """SharedMLP-compatible per-scale stack for the source-projected MSG
+    path (identical parameter tree: PointwiseConv_j/Dense_0 + GroupNorm_0).
+
+    kernel() exposes the first layer's weight so SAModuleMSG can project
+    ALL scales on the source cloud and gather their concatenation ONCE;
+    post() then applies the first layer's norm + act and the remaining
+    convs to the gathered (B, M, S, c0) block.
+    """
+
+    in_dim: int
+    channels: Sequence[int]
+    norm: NormSpec
+
+    def setup(self):
+        self.first = _FirstConvParams(
+            self.in_dim, self.channels[0], self.norm, name="PointwiseConv_0"
+        )
+        self.rest = [
+            PointwiseConv(c, norm=self.norm, act=True,
+                          name=f"PointwiseConv_{j}")
+            for j, c in enumerate(self.channels[1:], start=1)
+        ]
+
+    def kernel(self):
+        return self.first.dense()
+
+    def post(self, x):
+        x = self.first.norm_layer(x)
+        x = nn.relu(x)
+        for conv in self.rest:
+            x = conv(x)
+        return x
 
 
 class SAModuleMSG(nn.Module):
@@ -54,59 +130,70 @@ class SAModuleMSG(nn.Module):
 
         from ogc_tpu.nn.layers import compute_dtype
 
-        # bf16 compute: first-layer raw-gather split (the gather output
-        # feeds the first Dense directly; the per-point center correction
-        # is a tiny second Dense call — see flowstep3d._NormedConvStack).
-        use_split = (
+        # bf16 compute: SOURCE-PROJECTED grouping — by linearity the first
+        # Dense of each scale applies to the N source points BEFORE the
+        # gather (S x fewer matmul rows), all scales' projections concat
+        # into ONE narrow bf16 gather, and each scale's radius clamp is a
+        # row-select on its projected block.  The per-point center
+        # correction is a tiny (B, M, c0) product.  GroupNorm (data-
+        # dependent stats) still runs on the grouped tensor — only the
+        # gather+matmul pair moves.  f32-HIGH projection on the source
+        # keeps scene-scale xyz precision.
+        use_fold = (
             self.npoint is not None
             and self.use_xyz
             and features is not None
             and self.norm is not None
+            and self.norm.get("class") == "GroupNorm"
             and compute_dtype() == jnp.bfloat16
         )
-        if use_split:
+        if use_fold:
+            hp = jax.lax.Precision.HIGH
             src = jnp.concatenate([xyz, features], axis=-1)
-            center_in = jnp.concatenate(
-                [
-                    new_xyz,
-                    jnp.zeros(
-                        new_xyz.shape[:2] + (features.shape[-1],),
-                        new_xyz.dtype,
-                    ),
-                ],
-                axis=-1,
+            in_dim = src.shape[-1]
+            scales = [
+                _FoldScaleMLP(in_dim, tuple(mlp), self.norm,
+                              name=f"SharedMLP_{s}")
+                for s, mlp in enumerate(self.mlps)
+            ]
+            Ws = [sc.kernel() for sc in scales]
+            Wcat = jnp.concatenate(Ws, axis=-1)  # (3+C, sum c0)
+            proj = jnp.einsum("bni,ij->bnj", src, Wcat, precision=hp)
+            # center term: -Dense([new_xyz, 0]) = -new_xyz @ Wcat[:3]
+            cproj = jnp.einsum(
+                "bmi,ij->bmj", new_xyz, Wcat[:3], precision=hp
             )
+            cd = compute_dtype()
+            G = ops.group(proj.astype(cd), idx)  # (B, M, k_max, sum c0)
+            cprojc = cproj.astype(cd)
 
-        # With several scales, gather the neighborhood ONCE (unclamped,
-        # k_max) and apply each scale's radius clamp as a row-select on the
-        # gathered tensor: gather(where(d>r, i0, i)) == where(d>r, row0,
-        # rows), and the select costs a fraction of a second row-gather.
-        raw_all = None
-        if use_split and len(self.nsamples) > 1:
-            raw_all = ops.group(src, idx)  # (B, M, k_max, 3+C)
+            outs = []
+            off = 0
+            for radius, nsample, sc, mlp in zip(
+                self.radii, self.nsamples, scales, self.mlps
+            ):
+                c0 = mlp[0]
+                Gs = G[..., :nsample, off : off + c0]
+                if radius is not None:
+                    Gs = jnp.where(
+                        (dist[..., :nsample] > radius)[..., None],
+                        G[..., :1, off : off + c0],
+                        Gs,
+                    )
+                x = Gs - cprojc[..., off : off + c0][:, :, None, :]
+                h = sc.post(x)
+                outs.append(jnp.max(h, axis=2))
+                off += c0
+            new_features = jnp.concatenate(outs, axis=-1)
+            if return_inds:
+                return new_xyz, new_features, inds
+            return new_xyz, new_features
 
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             if self.npoint is not None:
                 d = dist[..., :nsample]
                 i = idx[..., :nsample]
-                if use_split:
-                    if raw_all is not None:
-                        raw = raw_all[..., :nsample, :]
-                        if radius is not None:
-                            raw = jnp.where(
-                                (d > radius)[..., None], raw_all[..., :1, :],
-                                raw,
-                            )
-                    else:
-                        if radius is not None:
-                            i = jnp.where(d > radius, i[..., :1], i)
-                        raw = ops.group(src, i)
-                    h = SharedMLP(tuple(mlp), norm=self.norm)(
-                        None, split_first=(raw, center_in)
-                    )
-                    outs.append(jnp.max(h, axis=2))
-                    continue
                 if radius is not None:
                     i = jnp.where(d > radius, i[..., :1], i)
                 grouped, _ = ops.group_with_idx(

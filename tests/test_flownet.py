@@ -142,6 +142,17 @@ def test_split_grouped_dense_matches_fused_path():
 
     set_compute_dtype(jnp.float32)
     p32 = m.init(jax.random.PRNGKey(0), xyz, feat)
+    # Perturb the running statistics so the eval-mode BN (and its folded
+    # affine) is a non-trivial transform, not the init identity.
+    import flax
+
+    p32 = flax.core.unfreeze(p32)
+    p32["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: x + 0.25 * jnp.abs(jnp.asarray(
+            np.random.RandomState(7).randn(*x.shape), x.dtype
+        )),  # abs: running var must stay positive
+        p32["batch_stats"],
+    )
     (_, ref_out, _), _ = m.apply(
         p32, xyz, feat, train=False, mutable=["batch_stats"]
     )
@@ -153,35 +164,46 @@ def test_split_grouped_dense_matches_fused_path():
             jax.tree_util.tree_structure(p16)
         assert jax.tree_util.tree_map(lambda a: a.shape, p32) == \
             jax.tree_util.tree_map(lambda a: a.shape, p16)
+        # train=True: the raw-gather SPLIT path (eval routes to the
+        # source-projected fold path, tested separately below).
         (_, split_out, _), _ = m.apply(
+            p32, xyz, feat, train=True, mutable=["batch_stats"]
+        )
+        # train=False: the source-projected FOLD path (first Dense +
+        # eval-BN affine applied to the source points before the gather).
+        (_, fold_out, _), _ = m.apply(
             p32, xyz, feat, train=False, mutable=["batch_stats"]
         )
 
         orig = F.FlowSAModule._grouped_inputs
 
-        def fused_only(self, xyz, new_xyz, idx, features):
+        def fused_only(self, xyz, new_xyz, idx, features, train=True):
             grouped, _ = ops.group_with_idx(
                 xyz, new_xyz, idx, features, use_xyz=self.use_xyz
             )
-            return grouped, None
+            return grouped, None, None
 
         F.FlowSAModule._grouped_inputs = fused_only
         try:
             (_, fused_out, _), _ = m.apply(
-                p32, xyz, feat, train=False, mutable=["batch_stats"]
+                p32, xyz, feat, train=True, mutable=["batch_stats"]
             )
         finally:
             F.FlowSAModule._grouped_inputs = orig
     finally:
         set_compute_dtype(jnp.float32)
 
-    ref, sp, fu = map(np.asarray, (ref_out, split_out, fused_out))
-    # Split runs the first layer in f32-HIGH: at least as close to the f32
-    # reference as the fused bf16 path.
-    rms_sp = np.sqrt(((sp - ref) ** 2).mean())
-    rms_fu = np.sqrt(((fu - ref) ** 2).mean())
-    assert rms_sp <= rms_fu * 1.2, (rms_sp, rms_fu)
+    ref, sp, fu, fo = map(
+        np.asarray, (ref_out, split_out, fused_out, fold_out)
+    )
+    scale = np.sqrt((ref**2).mean())
+    # Split runs the first layer in f32-HIGH: close to the bf16 fused path
+    # (both in train mode -> batch statistics; only float rounding differs).
     assert np.abs(sp - fu).max() < 0.1
+    # Fold path (eval): f32-HIGH source projection, one bf16 rounding of the
+    # normalized activations — a few percent of output scale at most.
+    rms_fo = np.sqrt(((fo - ref) ** 2).mean())
+    assert rms_fo < 0.03 * max(scale, 1e-6), (rms_fo, scale)
 
 
 def test_flow_embedding_split_bf16_close_to_f32():

@@ -69,8 +69,10 @@ def test_segnet_param_count_sapien(sapien_model):
 
 
 def test_segnet_split_grouped_dense_bf16_close_to_f32():
-    """bf16 compute routes SA groupings through the raw-gather split path;
-    masks must stay close to the f32 forward and the param tree unchanged."""
+    """bf16 compute routes SA groupings through the SOURCE-PROJECTED path
+    (first Dense of every scale applied to the source points before one
+    concatenated narrow gather); masks must stay close to the f32 forward
+    and the param tree unchanged."""
     import numpy as np
 
     from ogc_tpu.nn.layers import set_compute_dtype

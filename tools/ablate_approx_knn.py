@@ -1,13 +1,19 @@
-"""Quantify the approximate-neighbor deviation (VERDICT r1 #6).
+"""Quantify framework-mode deviations by short training ablations
+(VERDICT r1 #6/#7).
 
-Trains two short unsupervised seg runs on synthetic rigid scenes — one with
-exact neighbor search, one with the approximate default (flash-KNN at these
-sizes) — and evaluates every (train mode x eval mode) combination.  The
-deltas bound the accuracy cost of the framework's one deliberate semantics
-deviation.
+Trains paired short unsupervised seg runs on synthetic rigid scenes and
+evaluates every (train mode x eval mode) combination:
+
+  --ablate neighbors  exact vs approximate neighbor search (the default)
+  --ablate symgrad    autodiff vs symmetric-graph smooth gradients
+  --ablate dtype      f32 vs bf16 compute-dtype training
+
+--seeds N repeats the whole grid over N seeds (fresh data, init, shuffle
+per seed) and reports mean +/- std per cell — single-seed deltas at this
+scale are dominated by run-to-run noise (PARITY.md r1).
 
 Run ON TPU (the approximate path lowers to exact on CPU):
-    python tools/ablate_approx_knn.py [--epochs 12] [--n_points 2048]
+    python tools/ablate_approx_knn.py --seeds 5 [--epochs 12]
 Prints a markdown table for PARITY.md.
 """
 
@@ -28,11 +34,15 @@ def main():
     parser.add_argument("--n_points", type=int, default=2048)
     parser.add_argument("--n_scenes", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--ablate", choices=["neighbors", "symgrad"],
+    parser.add_argument("--ablate", choices=["neighbors", "symgrad", "dtype"],
                         default="neighbors",
                         help="neighbors: exact vs approx search; symgrad: "
-                             "autodiff vs symmetric-graph smooth gradient "
-                             "(both trained in approximate mode)")
+                             "autodiff vs symmetric-graph smooth gradient; "
+                             "dtype: f32 vs bf16 compute-dtype training "
+                             "(non-neighbors modes train approximate)")
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="number of seeds (fresh data/init per seed); "
+                             "reports mean +/- std")
     args = parser.parse_args()
 
     import jax
@@ -48,18 +58,21 @@ def main():
         clustering_metrics,
     )
     from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.nn.layers import set_compute_dtype
     from ogc_tpu.parallel import mesh as pmesh
     from ogc_tpu.train.seg import SegTrainer, make_optimizer
     from tests.synth import make_sapien_root
 
-    root = make_sapien_root(
-        osp.join(tempfile.mkdtemp(prefix="ablate_"), "mbs-shapepart"),
-        n_scenes=args.n_scenes, n_views=4, n_points=args.n_points,
-        n_parts=3, seed=args.seed,
-    )
-    train_set = SapienDataset(root, split="train",
-                              view_sels=[[0, 1], [1, 2], [2, 3]])
-    test_set = SapienDataset(root, split="test", view_sels=[[0, 1]])
+    def make_sets(seed):
+        root = make_sapien_root(
+            osp.join(tempfile.mkdtemp(prefix="ablate_"), "mbs-shapepart"),
+            n_scenes=args.n_scenes, n_views=4, n_points=args.n_points,
+            n_parts=3, seed=seed,
+        )
+        train_set = SapienDataset(root, split="train",
+                                  view_sels=[[0, 1], [1, 2], [2, 3]])
+        test_set = SapienDataset(root, split="test", view_sels=[[0, 1]])
+        return train_set, test_set
 
     def make_model():
         return MaskFormer3D(
@@ -67,18 +80,22 @@ def main():
             n_transformer_layer=2, transformer_embed_dim=128,
         )
 
-    def train_one(variant: bool):
-        # neighbors mode: variant = exact search.  symgrad mode: variant =
-        # symmetric_smooth_grad (approximate search for both arms).
+    def train_one(variant: bool, seed: int, train_set):
+        # neighbors: variant = exact search.  symgrad: variant =
+        # symmetric_smooth_grad.  dtype: variant = bf16 compute (both
+        # non-neighbors modes train with the approximate default).
+        symgrad = False
         if args.ablate == "neighbors":
             ops.set_exact_neighbors(variant)
-            symgrad = False
-        else:
+        elif args.ablate == "symgrad":
             ops.set_exact_neighbors(False)
             symgrad = variant
+        else:
+            ops.set_exact_neighbors(False)
+            set_compute_dtype(jnp.bfloat16 if variant else None)
         model = make_model()
         pc0 = jnp.zeros((1, args.n_points, 3))
-        params = model.init(jax.random.PRNGKey(args.seed), pc0, pc0)
+        params = model.init(jax.random.PRNGKey(seed), pc0, pc0)
         trainer = SegTrainer(
             model=model, params=params,
             loss_cfg=OGCLossConfig(
@@ -92,17 +109,18 @@ def main():
             mesh=pmesh.make_mesh(jax.devices()[:1]),
         )
         loader = DataLoader(train_set, batch_size=4, shuffle=True,
-                            seed=args.seed, drop_last=True, num_workers=2)
+                            seed=seed, drop_last=True, num_workers=2)
         it = 0
         for epoch in range(args.epochs):
             for batch in loader:
                 ld, _, _ = trainer.train_it(it, batch)
                 it += 1
-            print(f"  [variant={variant}] epoch {epoch + 1}: "
+            print(f"  [seed={seed} variant={variant}] epoch {epoch + 1}: "
                   f"loss={ld['sum']:.4f}", file=sys.stderr, flush=True)
+        set_compute_dtype(None)
         return trainer
 
-    def evaluate(trainer, exact: bool):
+    def evaluate(trainer, exact: bool, test_set):
         ops.set_exact_neighbors(exact)
         model = trainer.model
 
@@ -132,22 +150,38 @@ def main():
         return {"PQ@50": pq, "F1@50": f1,
                 "mIoU": float(np.mean(mious)), "RI": float(np.mean(ris))}
 
-    names = (("exact", "approx") if args.ablate == "neighbors"
-             else ("symgrad", "autodiff"))
-    results = {}
-    for variant in (True, False):
-        trainer = train_one(variant)
-        vname = names[0] if variant else names[1]
-        for eval_exact in (True, False):
-            key = (vname, ("exact" if eval_exact else "approx"))
-            results[key] = evaluate(trainer, eval_exact)
-            print(f"{key}: {results[key]}", file=sys.stderr, flush=True)
+    names = {
+        "neighbors": ("exact", "approx"),
+        "symgrad": ("symgrad", "autodiff"),
+        "dtype": ("bf16", "f32"),
+    }[args.ablate]
+    results = {}  # (variant, eval_mode) -> list of per-seed dicts
+    for s in range(args.seeds):
+        seed = args.seed + s
+        train_set, test_set = make_sets(seed)
+        for variant in (True, False):
+            trainer = train_one(variant, seed, train_set)
+            vname = names[0] if variant else names[1]
+            for eval_exact in (True, False):
+                key = (vname, ("exact" if eval_exact else "approx"))
+                r = evaluate(trainer, eval_exact, test_set)
+                results.setdefault(key, []).append(r)
+                print(f"seed {seed} {key}: {r}", file=sys.stderr, flush=True)
 
-    print("\n| train \\ eval | PQ@50 | F1@50 | mIoU | RI |")
-    print("|---|---|---|---|---|")
-    for key, r in results.items():
-        print(f"| {key[0]} / {key[1]} | {r['PQ@50']:.4f} | {r['F1@50']:.4f} "
-              f"| {r['mIoU']:.4f} | {r['RI']:.4f} |")
+    metrics = ("PQ@50", "F1@50", "mIoU", "RI")
+    print(f"\n[{args.ablate}, {args.seeds} seed(s), {args.epochs} epochs, "
+          f"{args.n_points} pts, {args.n_scenes} scenes]")
+    print("| train \\ eval | " + " | ".join(metrics) + " |")
+    print("|---|" + "---|" * len(metrics))
+    for key, runs in results.items():
+        cells = []
+        for m in metrics:
+            vals = np.array([r[m] for r in runs])
+            cells.append(
+                f"{vals.mean():.4f}"
+                + (f" ± {vals.std():.4f}" if len(vals) > 1 else "")
+            )
+        print(f"| {key[0]} / {key[1]} | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":

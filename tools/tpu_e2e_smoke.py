@@ -76,16 +76,60 @@ def flow_smoke(args, tmp, root, env, run):
     assert "EPE" in out or "epe" in out, out[-500:]
 
 
+def vote_scale_smoke():
+    """mask_voting at OUTDOOR scale on the real chip: T=6 frames x 8192
+    points x K=10 slots, time window 3 — the configuration whose dense form
+    (T^2 (N, N) transitive correspondence matrices, /root/reference/
+    vote.py:31-59) needs ~6.7 GB per 5-frame window and cannot fit alongside
+    the model.  The streamed warp_mask_chain path's peak transient is
+    (N, tile); this validates it executes within HBM and stays
+    row-stochastic at KITTI/Waymo sizes (VERDICT r1 #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.refine.vote import mask_voting
+
+    T, N, K = 6, 8192, 10
+    rng = np.random.RandomState(0)
+    base = 30.0 * rng.rand(N, 3).astype(np.float32)
+    flows_fwd = 0.3 * rng.randn(T - 1, N, 3).astype(np.float32)
+    pcs = [base]
+    for t in range(T - 1):
+        pcs.append(pcs[-1] + flows_fwd[t])
+    pc = jnp.asarray(np.stack(pcs, 0))
+    flows = jnp.asarray(
+        np.stack([np.stack([flows_fwd[t], -flows_fwd[t]], 0)
+                  for t in range(T - 1)], 0)
+    )
+    logits = rng.randn(T, N, K).astype(np.float32)
+    mask = jnp.asarray(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+
+    voted = mask_voting(pc, mask, flows, time_window_size=3)
+    voted = np.asarray(jax.device_get(voted))
+    assert voted.shape == (T, N, K), voted.shape
+    assert np.isfinite(voted).all(), "non-finite votes"
+    np.testing.assert_allclose(voted.sum(-1), 1.0, atol=1e-3)
+    print(f"vote_scale ok: T={T} N={N} K={K} window=3 "
+          f"(rowsum err {np.abs(voted.sum(-1) - 1).max():.2e})", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="run in the bf16 compute mode")
-    ap.add_argument("--mode", choices=("seg", "flow"), default="seg",
+    ap.add_argument("--mode", choices=("seg", "flow", "vote_scale"),
+                    default="seg",
                     help="seg: round-alternation pipeline; flow: "
-                         "train_flow + test_flow --save")
+                         "train_flow + test_flow --save; vote_scale: "
+                         "mask_voting at 8192 pts / 6 frames on-chip")
     ap.add_argument("--n_points", type=int, default=512)
     ap.add_argument("--keep", action="store_true", help="keep the tmp dir")
     args = ap.parse_args()
+
+    if args.mode == "vote_scale":
+        vote_scale_smoke()
+        print("TPU E2E SMOKE OK [vote_scale]", flush=True)
+        return
 
     from synth import make_sapien_root
 
