@@ -93,9 +93,12 @@ class MaskFormer3D(nn.Module):
         return ARCHS[self.arch] if isinstance(self.arch, str) else self.arch
 
     @nn.compact
-    def __call__(self, pc, point_feats):
+    def __call__(self, pc, point_feats, train: bool = False):
         """
         :param pc: (B, N, 3); :param point_feats: (B, N, 3).
+        :param train: training step?  Math-neutral (GroupNorm only); picks
+            the bf16 fast path in the SA stages (inference fold vs
+            training split — see SAModuleMSG).
         :return: mask (B, N, K).
         """
         from ogc_tpu.nn.transformer import MaskFormerHead
@@ -114,7 +117,7 @@ class MaskFormer3D(nn.Module):
                 norm=norm,
                 use_xyz=self.use_xyz,
                 name=f"sa{si}",
-            )(l_pc[si], l_feats[si])
+            )(l_pc[si], l_feats[si], train=train)
             l_pc.append(new_xyz)
             l_feats.append(new_feats)
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Mapping, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Torch kaiming_normal_ (fan_in, gain sqrt(2), untruncated) — the init used by
@@ -49,9 +50,11 @@ def make_norm(norm: NormSpec, name: Optional[str] = None):
         return None
     cls = norm["class"]
     if cls == "GroupNorm":
-        # dtype follows the compute dtype (bf16 keeps the normalized
-        # activations out of f32 HBM roundtrips); flax computes the
-        # mean/var reductions in f32 regardless.
+        # flax GroupNorm everywhere EXCEPT the inference fold path (which
+        # uses GroupStatsNorm directly — see pointnet2._FirstConvParams):
+        # the reshape-free variant only pays on freshly gathered tensors,
+        # and f32 mode must keep the reference-exact float path
+        # (grad-parity tests pin it).
         return nn.GroupNorm(
             num_groups=norm["num_groups"], epsilon=1e-5,
             dtype=_COMPUTE_DTYPE, name=name,
@@ -64,6 +67,58 @@ def make_norm(norm: NormSpec, name: Optional[str] = None):
             dtype=_COMPUTE_DTYPE, name=name,
         )
     raise KeyError(f"Unrecognized norm class: {cls}")
+
+
+class GroupStatsNorm(nn.Module):
+    """GroupNorm with reshape-free statistics, param-compatible with
+    nn.GroupNorm (scale/bias of shape (C,)).
+
+    flax's GroupNorm reshapes (B, ..., C) to (B, ..., G, C/G) for its
+    reductions — on TPU that 5-D view of a freshly GATHERED tensor forces
+    layout copies + sublane-splitting reshapes that cost more than the norm
+    itself (seg trace r4: ~2.5 ms of copies/reshapes per SA stage).  Here
+    per-channel sums reduce over the position axes in the native layout and
+    a tiny (C, G) 0/1 matmul pools them into group statistics; the
+    normalization is pure elementwise.  Math identical to flax's
+    use_fast_variance path (mean of squares minus squared mean, f32).
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+
+        # (C, G) group-assignment matrix (static 0/1).
+        assign = jnp.asarray(
+            (jnp.arange(C) // (C // G))[:, None]
+            == jnp.arange(G)[None, :],
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        s1 = jnp.sum(xf, axis=axes)          # (B, C)
+        s2 = jnp.sum(xf * xf, axis=axes)     # (B, C)
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        n *= C // G
+        gmean = (s1 @ assign) / n            # (B, G)
+        gms = (s2 @ assign) / n
+        gvar = jnp.maximum(gms - gmean**2, 0.0)
+        k = jax.lax.rsqrt(gvar + self.epsilon)
+        # Broadcast back to channels.
+        kc = (k @ assign.T)                  # (B, C)
+        mc = (gmean @ assign.T)
+        dt = x.dtype
+        expand = (slice(None),) + (None,) * len(axes) + (slice(None),)
+        y = (x - mc[expand].astype(dt)) * kc[expand].astype(dt)
+        return y * scale.astype(dt) + bias.astype(dt)
 
 
 class PointwiseConv(nn.Module):

@@ -49,10 +49,17 @@ class _FirstConvParams(nn.Module):
     norm: NormSpec
 
     def setup(self):
+        from ogc_tpu.nn.layers import GroupStatsNorm
+
         self.dense = _RawDenseKernel((self.in_dim, self.out_dim),
                                      name="Dense_0")
-        self.norm_layer = make_norm(self.norm, name="GroupNorm_0")
-        assert self.norm_layer is not None
+        # Reshape-free GroupNorm (param-compatible with the nn.GroupNorm
+        # the non-fold path creates): flax's grouped reshape on the gather
+        # output forces TPU layout copies costlier than the norm itself.
+        assert self.norm.get("class") == "GroupNorm"
+        self.norm_layer = GroupStatsNorm(
+            num_groups=self.norm["num_groups"], name="GroupNorm_0"
+        )
 
     def __call__(self):  # pragma: no cover - params accessed via methods
         raise NotImplementedError
@@ -111,9 +118,15 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
 
     @nn.compact
-    def __call__(self, xyz, features=None, return_inds=False):
+    def __call__(self, xyz, features=None, return_inds=False,
+                 train: bool = False):
         """
         :param xyz: (B, N, 3); :param features: optional (B, N, C).
+        :param train: training step?  GroupNorm itself is train/eval
+            agnostic; the flag only picks the bf16 fast path — the
+            source-projected fold is an INFERENCE layout (its backward
+            measured slower than the split path's), training keeps the
+            raw-gather split.
         :return: (new_xyz (B, npoint, 3), new_features (B, npoint, sum(out)))
         """
         if self.npoint is not None:
@@ -146,7 +159,61 @@ class SAModuleMSG(nn.Module):
             and self.norm is not None
             and self.norm.get("class") == "GroupNorm"
             and compute_dtype() == jnp.bfloat16
+            and not train
         )
+        # bf16 TRAINING keeps the r3 raw-gather split first layer (Dense on
+        # the gathered rows, per-point center correction): the fold's
+        # backward (wide projected scatter + select transposes) measured
+        # slower than the split's, while forward-only work favors the fold.
+        use_split = (
+            self.npoint is not None
+            and self.use_xyz
+            and features is not None
+            and self.norm is not None
+            and compute_dtype() == jnp.bfloat16
+            and train
+        )
+        if use_split:
+            src_s = jnp.concatenate([xyz, features], axis=-1)
+            center_in = jnp.concatenate(
+                [
+                    new_xyz,
+                    jnp.zeros(
+                        new_xyz.shape[:2] + (features.shape[-1],),
+                        new_xyz.dtype,
+                    ),
+                ],
+                axis=-1,
+            )
+            # One shared gather across scales; per-scale radius clamp as a
+            # row-select on the gathered tensor.
+            raw_all = (
+                ops.group(src_s, idx) if len(self.nsamples) > 1 else None
+            )
+            outs = []
+            for radius, nsample, mlp in zip(
+                self.radii, self.nsamples, self.mlps
+            ):
+                d = dist[..., :nsample]
+                i = idx[..., :nsample]
+                if raw_all is not None:
+                    raw = raw_all[..., :nsample, :]
+                    if radius is not None:
+                        raw = jnp.where(
+                            (d > radius)[..., None], raw_all[..., :1, :], raw
+                        )
+                else:
+                    if radius is not None:
+                        i = jnp.where(d > radius, i[..., :1], i)
+                    raw = ops.group(src_s, i)
+                h = SharedMLP(tuple(mlp), norm=self.norm)(
+                    None, split_first=(raw, center_in)
+                )
+                outs.append(jnp.max(h, axis=2))
+            new_features = jnp.concatenate(outs, axis=-1)
+            if return_inds:
+                return new_xyz, new_features, inds
+            return new_xyz, new_features
         if use_fold:
             hp = jax.lax.Precision.HIGH
             src = jnp.concatenate([xyz, features], axis=-1)

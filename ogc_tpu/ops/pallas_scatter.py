@@ -1,0 +1,108 @@
+"""Pallas row scatter-add: the backward of neighborhood gathers.
+
+d[b, idx[b, r], :] += g[b, r, :] with the whole (n_dest, C) accumulator
+resident in VMEM: gradient tiles stream in, rows accumulate on-chip, HBM is
+written once per batch item.  Measured 1.6-1.7x faster than XLA's
+scatter-add at the smooth-loss shapes (10.7-12.3 vs 18-20 ns/row,
+tools/bench_pallas_scatter.py on v5e) — XLA's scatter pays an HBM
+read-modify-write per row; here the row updates hit VMEM.
+
+This is the exact-gradient path of the smoothness losses (reference
+backward: atomicAdd kernels, pointnet2/src/group_points_gpu.cu:8-45), whose
+scatter floor was the largest component of the fused train step (BENCHLOG
+r2/r3: ~173 ms of a 380 ms step).  Deterministic: tiles and rows accumulate
+in a fixed sequential order (the TPU grid is sequential).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_TILE = 2048
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def scatter_add_rows(idx, g, n_dest: int):
+    """Row scatter-add with a VMEM-resident accumulator.
+
+    :param idx: (B, R) int32 destination rows (in [0, n_dest)).
+    :param g: (B, R, C) values (any float dtype; accumulation in f32).
+    :param n_dest: number of destination rows (static).
+    :return: (B, n_dest, C) f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = idx.shape
+    C = g.shape[-1]
+    # f32 inside the kernel: per-row dynamic vector.loads on (2,1)-packed
+    # bf16 tiles fail Mosaic's sublane-alignment proof ("cannot statically
+    # prove that index in dimension 1 is a multiple of 8"); accumulation is
+    # f32 regardless.
+    g = g.astype(jnp.float32)
+
+    pad = (-R) % _TILE
+    if pad:
+        # Padding rows accumulate zeros into row 0 — exact.
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        R += pad
+
+    def kernel(idx_ref, g_ref, out_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        def body(r, _):
+            d = idx_ref[r]
+            out_ref[d, :] = out_ref[d, :] + g_ref[r, :]
+            return 0
+
+        jax.lax.fori_loop(0, _TILE, body, 0)
+
+    n_tiles = R // _TILE
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            # 1-D block: the (8, 128) tiling rule only sees a single
+            # 128-divisible dim (a squeezed batch dim is rejected in SMEM).
+            pl.BlockSpec((_TILE,), lambda b, t: (b * n_tiles + t,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, _TILE, C), lambda b, t: (b, t, 0)),
+            # VMEM blocks default to VMEM memory space.
+        ],
+        out_specs=pl.BlockSpec((None, n_dest, C), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_dest, C), jnp.float32),
+        # Interpreted off-TPU so the CPU test suite exercises the kernel
+        # semantics (the production gate routes here only on TPU).
+        interpret=jax.default_backend() != "tpu",
+    )(idx.reshape(B * R), g)
+
+
+def scatter_path_applicable(n_dest: int, n_rows: int, C: int) -> bool:
+    """Static gate for routing a gather backward through the kernel:
+    TPU backend, the accumulator fits comfortably in VMEM next to a
+    gradient tile, lane-friendly C, and enough rows to amortize setup.
+
+    OGC_PALLAS_SCATTER overrides for experiments: "off" (always XLA),
+    "narrow" (C <= 16 only), "all" (the default gate)."""
+    import os
+
+    mode = os.environ.get("OGC_PALLAS_SCATTER", "all")
+    if mode == "off" or jax.default_backend() != "tpu":
+        return False
+    if mode == "narrow" and C > 16:
+        return False
+    acc_bytes = n_dest * C * 4
+    tile_bytes = _TILE * C * 4
+    return (
+        acc_bytes + 2 * tile_bytes <= 6 * 1024 * 1024
+        and C <= 256
+        and n_rows >= 4 * _TILE
+    )

@@ -124,14 +124,15 @@ class SegTrainer:
     # Jitted steps
     # ------------------------------------------------------------------
 
-    def _forward_masks(self, params, pcs):
+    def _forward_masks(self, params, pcs, train=False):
         B, T, N, _ = pcs.shape
         flat = pcs.reshape(B * T, N, 3)
-        masks = self.model.apply(params, flat, flat)
+        masks = self.model.apply(params, flat, flat, train=train)
         return masks.reshape(B, T, N, -1)
 
-    def _loss(self, params, pcs, flows, it_samples, step_w, aug):
-        masks = self._forward_masks(params, pcs)
+    def _loss(self, params, pcs, flows, it_samples, step_w, aug,
+              train=False):
+        masks = self._forward_masks(params, pcs, train=train)
         T = pcs.shape[1]
         loss, ld = ogc_loss(
             [pcs[:, t] for t in range(T)],
@@ -147,7 +148,7 @@ class SegTrainer:
     def _train_step_impl(self, params, opt_state, pcs, flows, it_samples, aug):
         (loss, (ld, masks)), grads = jax.value_and_grad(
             self._loss, has_aux=True
-        )(params, pcs, flows, it_samples, True, aug)
+        )(params, pcs, flows, it_samples, True, aug, True)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, ld, masks

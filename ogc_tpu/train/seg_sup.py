@@ -64,14 +64,14 @@ class SupSegTrainer:
         self.opt_state = pmesh.replicate(self.mesh, state["opt_state"])
         return int(state["epoch"])
 
-    def _loss(self, params, pc, gt_mask, valid):
-        mask = self.model.apply(params, pc, pc)
+    def _loss(self, params, pc, gt_mask, valid, train=False):
+        mask = self.model.apply(params, pc, pc, train=train)
         loss, ld = supervised_mask_loss(mask, gt_mask, valid, self.loss_cfg)
         return loss, (ld, mask)
 
     def _train_step_impl(self, params, opt_state, pc, gt_mask, valid):
         (loss, (ld, mask)), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            params, pc, gt_mask, valid
+            params, pc, gt_mask, valid, True
         )
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

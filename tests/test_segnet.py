@@ -89,8 +89,10 @@ def test_segnet_split_grouped_dense_bf16_close_to_f32():
             jax.tree_util.tree_structure(p16)
         assert jax.tree_util.tree_map(lambda a: a.shape, p32) == \
             jax.tree_util.tree_map(lambda a: a.shape, p16)
-        out = m.apply(p32, pc, pc)
+        out = m.apply(p32, pc, pc)               # eval: source-projected fold
+        out_tr = m.apply(p32, pc, pc, train=True)  # train: raw-gather split
     finally:
         set_compute_dtype(None)
-    d = np.abs(np.asarray(out) - np.asarray(ref))
-    assert d.max() < 0.35 and d.mean() < 0.01, (d.max(), d.mean())
+    for o in (out, out_tr):
+        d = np.abs(np.asarray(o) - np.asarray(ref))
+        assert d.max() < 0.35 and d.mean() < 0.01, (d.max(), d.mean())

@@ -45,7 +45,7 @@ def scatter_accumulate_pallas(idx, g, n_dest):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         def body(r, _):
-            d = idx_ref[0, r]
+            d = idx_ref[r]
             out_ref[d, :] = out_ref[d, :] + g_ref[r, :]
             return 0
 
@@ -56,7 +56,9 @@ def scatter_accumulate_pallas(idx, g, n_dest):
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda b, t: (b, t),
+            # 1-D so the (8, 128) block-tiling rule sees a single
+            # 128-divisible dim (a squeezed batch dim is rejected in SMEM).
+            pl.BlockSpec((TILE,), lambda b, t: (b * n_tiles + t,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, TILE, K), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
@@ -64,7 +66,7 @@ def scatter_accumulate_pallas(idx, g, n_dest):
         out_specs=pl.BlockSpec((None, n_dest, K), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_dest, K), jnp.float32),
-    )(idx, g)
+    )(idx.reshape(B * R), g)
 
 
 def main():
@@ -78,9 +80,9 @@ def main():
 
     from bench import make_timed
 
-    B, N, K = 8, 8192, 10
+    B, N = 8, 8192
     rng = np.random.RandomState(0)
-    for S in (32, 64):
+    for S, K in ((32, 10), (64, 10), (32, 64), (32, 131), (4, 64)):
         R = N * S
         idx = jnp.asarray(rng.randint(0, N, size=(B, R)).astype(np.int32))
         g = jnp.asarray(rng.randn(B, R, K).astype(np.float32))
@@ -93,10 +95,11 @@ def main():
 
         t_x = make_timed(xla_scatter, reps=5)(idx, g)
         rows = B * R
-        print(f"S={S}: XLA scatter {t_x*1e3:8.2f} ms "
+        print(f"S={S} K={K}: XLA scatter {t_x*1e3:8.2f} ms "
               f"({t_x/rows*1e9:.1f} ns/row)", flush=True)
 
         try:
+            scatter_accumulate_pallas(idx, g, N)  # surface lowering errors
             t_p = make_timed(
                 lambda i, gg: scatter_accumulate_pallas(i, gg, N), reps=5
             )(idx, g)
@@ -104,11 +107,11 @@ def main():
             a = np.asarray(scatter_accumulate_pallas(idx, g, N))
             b = np.asarray(xla_scatter(idx, g))
             err = np.abs(a - b).max()
-            print(f"S={S}: Pallas VMEM-acc {t_p*1e3:8.2f} ms "
+            print(f"S={S} K={K}: Pallas VMEM-acc {t_p*1e3:8.2f} ms "
                   f"({t_p/rows*1e9:.1f} ns/row)  max_err={err:.2e}",
                   flush=True)
         except Exception as e:
-            print(f"S={S}: Pallas VMEM-acc FAILED: {type(e).__name__}: "
+            print(f"S={S} K={K}: Pallas VMEM-acc FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
 
     # One-hot MXU alternative, analytic (for BENCHLOG):
