@@ -50,11 +50,19 @@ def make_norm(norm: NormSpec, name: Optional[str] = None):
         return None
     cls = norm["class"]
     if cls == "GroupNorm":
-        # flax GroupNorm everywhere EXCEPT the inference fold path (which
-        # uses GroupStatsNorm directly — see pointnet2._FirstConvParams):
-        # the reshape-free variant only pays on freshly gathered tensors,
-        # and f32 mode must keep the reference-exact float path
-        # (grad-parity tests pin it).
+        # bf16 compute mode: reshape-free GroupStatsNorm (param-path
+        # compatible — explicitly named GroupNorm_0 to match flax's
+        # auto-name).  flax's grouped (B, ..., G, C/G) reshape on the big
+        # gathered tensors forces TPU layout copies + 5-D reshapes costing
+        # ~2.5 ms per seg forward (trace r5); the stats-matmul variant
+        # reduces in the native layout.  Equivalence pinned by
+        # tests/test_layers.py.  f32 mode keeps flax GroupNorm — the
+        # reference-exact float path (grad-parity tests pin it).
+        if _COMPUTE_DTYPE == jnp.bfloat16:
+            return GroupStatsNorm(
+                num_groups=norm["num_groups"], epsilon=1e-5,
+                name=name or "GroupNorm_0",
+            )
         return nn.GroupNorm(
             num_groups=norm["num_groups"], epsilon=1e-5,
             dtype=_COMPUTE_DTYPE, name=name,
@@ -87,12 +95,19 @@ class GroupStatsNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        """`return_params`: create/return the (scale, bias) affine without
+        normalizing — used by the merged multi-scale MSG chain, which pools
+        several scales' norms into one pass over the concatenated channels
+        (see pointnet2.SAModuleMSG) but keeps per-scale parameter ownership
+        here."""
         C = x.shape[-1]
         G = self.num_groups
         assert C % G == 0, (C, G)
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
+        if return_params:
+            return scale, bias
 
         # (C, G) group-assignment matrix (static 0/1).
         assign = jnp.asarray(
@@ -119,6 +134,61 @@ class GroupStatsNorm(nn.Module):
         expand = (slice(None),) + (None,) * len(axes) + (slice(None),)
         y = (x - mc[expand].astype(dt)) * kc[expand].astype(dt)
         return y * scale.astype(dt) + bias.astype(dt)
+
+
+def merged_group_stats_norm(x, affines, blocks, epsilon: float = 1e-5):
+    """Several independent per-channel-block GroupNorms in ONE pass.
+
+    The multi-scale MSG chain concatenates every scale's channels into one
+    tensor; each scale's GroupNorm must see only its own block.  A
+    block-diagonal group-assignment matrix generalizes GroupStatsNorm's
+    (C, G) pooling matmul to all scales at once — one s1/s2 reduction over
+    the big tensor instead of one per scale (and one layout for the whole
+    chain).  Math per block is identical to GroupStatsNorm == nn.GroupNorm
+    (tests/test_layers.py).
+
+    :param x: (B, ..., sum C_b).
+    :param affines: per-block (scale, bias) pairs, shapes (C_b,).
+    :param blocks: per-block (C_b, num_groups_b).
+    """
+    import numpy as np
+
+    C = x.shape[-1]
+    assert C == sum(c for c, _ in blocks), (C, blocks)
+    g_total = sum(g for _, g in blocks)
+    assign = np.zeros((C, g_total), np.float32)
+    n_vec = np.zeros((g_total,), np.float32)
+    spatial = 1
+    for a in range(1, x.ndim - 1):
+        spatial *= x.shape[a]
+    c_off = g_off = 0
+    for c, g in blocks:
+        assert c % g == 0, (c, g)
+        per = c // g
+        for j in range(g):
+            assign[c_off + j * per : c_off + (j + 1) * per, g_off + j] = 1.0
+        n_vec[g_off : g_off + g] = per * spatial
+        c_off += c
+        g_off += g
+    assign = jnp.asarray(assign)
+    n_vec = jnp.asarray(n_vec)
+    scale = jnp.concatenate([s for s, _ in affines])
+    bias = jnp.concatenate([b for _, b in affines])
+
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    s1 = jnp.sum(xf, axis=axes)          # (B, C)
+    s2 = jnp.sum(xf * xf, axis=axes)
+    gmean = (s1 @ assign) / n_vec        # (B, G_total)
+    gms = (s2 @ assign) / n_vec
+    gvar = jnp.maximum(gms - gmean**2, 0.0)
+    k = jax.lax.rsqrt(gvar + epsilon)
+    kc = k @ assign.T                    # (B, C)
+    mc = gmean @ assign.T
+    dt = x.dtype
+    expand = (slice(None),) + (None,) * len(axes) + (slice(None),)
+    y = (x - mc[expand].astype(dt)) * kc[expand].astype(dt)
+    return y * scale.astype(dt) + bias.astype(dt)
 
 
 class PointwiseConv(nn.Module):

@@ -65,6 +65,63 @@ class _FirstConvParams(nn.Module):
         raise NotImplementedError
 
 
+class _ConvParams(nn.Module):
+    """Param-compatible stand-in for PointwiseConv(norm=GroupNorm):
+    owns Dense_0's kernel and GroupNorm_0's affine, readable so the merged
+    multi-scale chain can apply all scales' layers as one block-diagonal
+    matmul + one merged norm (see SAModuleMSG).  apply() reproduces the
+    per-scale PointwiseConv behavior for the unmerged fallback."""
+
+    in_dim: int
+    out_dim: int
+    norm: NormSpec
+
+    def setup(self):
+        from ogc_tpu.nn.layers import GroupStatsNorm
+
+        self.dense = _RawDenseKernel((self.in_dim, self.out_dim),
+                                     name="Dense_0")
+        assert self.norm.get("class") == "GroupNorm"
+        self.norm_layer = GroupStatsNorm(
+            num_groups=self.norm["num_groups"], name="GroupNorm_0"
+        )
+
+    def kernel(self):
+        return self.dense()
+
+    def affine(self):
+        dummy = jnp.zeros((1, self.out_dim), jnp.float32)
+        return self.norm_layer(dummy, return_params=True)
+
+    def apply_conv(self, x):
+        from ogc_tpu.nn.layers import compute_dtype
+
+        w = self.dense()
+        cd = compute_dtype()
+        if cd is not None:
+            x = x.astype(cd)
+            w = w.astype(cd)
+        x = x @ w
+        x = self.norm_layer(x)
+        return nn.relu(x)
+
+    def __call__(self):  # pragma: no cover - params accessed via methods
+        raise NotImplementedError
+
+
+def _block_diag(mats):
+    """Block-diagonal stack of 2-D kernels (static shapes/offsets)."""
+    tin = sum(m.shape[0] for m in mats)
+    tout = sum(m.shape[1] for m in mats)
+    W = jnp.zeros((tin, tout), mats[0].dtype)
+    i = j = 0
+    for m in mats:
+        W = jax.lax.dynamic_update_slice(W, m.astype(W.dtype), (i, j))
+        i += m.shape[0]
+        j += m.shape[1]
+    return W
+
+
 class _FoldScaleMLP(nn.Module):
     """SharedMLP-compatible per-scale stack for the source-projected MSG
     path (identical parameter tree: PointwiseConv_j/Dense_0 + GroupNorm_0).
@@ -72,7 +129,8 @@ class _FoldScaleMLP(nn.Module):
     kernel() exposes the first layer's weight so SAModuleMSG can project
     ALL scales on the source cloud and gather their concatenation ONCE;
     post() then applies the first layer's norm + act and the remaining
-    convs to the gathered (B, M, S, c0) block.
+    convs to the gathered (B, M, S, c0) block.  norm_affine()/rest expose
+    the per-layer parameters for the fully merged multi-scale chain.
     """
 
     in_dim: int
@@ -84,19 +142,24 @@ class _FoldScaleMLP(nn.Module):
             self.in_dim, self.channels[0], self.norm, name="PointwiseConv_0"
         )
         self.rest = [
-            PointwiseConv(c, norm=self.norm, act=True,
-                          name=f"PointwiseConv_{j}")
-            for j, c in enumerate(self.channels[1:], start=1)
+            _ConvParams(cin, c, self.norm, name=f"PointwiseConv_{j}")
+            for j, (cin, c) in enumerate(
+                zip(self.channels[:-1], self.channels[1:]), start=1
+            )
         ]
 
     def kernel(self):
         return self.first.dense()
 
+    def norm_affine(self):
+        dummy = jnp.zeros((1, self.channels[0]), jnp.float32)
+        return self.first.norm_layer(dummy, return_params=True)
+
     def post(self, x):
         x = self.first.norm_layer(x)
         x = nn.relu(x)
         for conv in self.rest:
-            x = conv(x)
+            x = conv.apply_conv(x)
         return x
 
 
@@ -233,6 +296,66 @@ class SAModuleMSG(nn.Module):
             cd = compute_dtype()
             G = ops.group(proj.astype(cd), idx)  # (B, M, k_max, sum c0)
             cprojc = cproj.astype(cd)
+
+            # All reference MSG stages share nsample and depth across
+            # scales — then the WHOLE stage runs as ONE chain over the
+            # concatenated channels: per-channel-block radius clamp,
+            # block-diagonal Dense for the later layers, and merged
+            # group-stats norms.  Per-scale math is exactly the sliced
+            # block of each merged op; the win is one XLA layout for the
+            # stage (the per-scale forks made XLA copy the shared gather
+            # into two different layouts, ~1.6 ms per seg forward) and one
+            # stats reduction per layer instead of one per scale.
+            merged = (
+                len(set(self.nsamples)) == 1
+                and self.nsamples[0] == k_max
+                and len({len(m) for m in self.mlps}) == 1
+            )
+            if merged:
+                import numpy as np
+
+                gnum = self.norm["num_groups"]
+                if any(r is not None for r in self.radii):
+                    rvec = jnp.asarray(
+                        np.concatenate(
+                            [
+                                np.full(
+                                    m[0],
+                                    np.inf if r is None else r,
+                                    np.float32,
+                                )
+                                for r, m in zip(self.radii, self.mlps)
+                            ]
+                        )
+                    )
+                    Gc = jnp.where(dist[..., None] > rvec, G[..., :1, :], G)
+                else:
+                    Gc = G
+                from ogc_tpu.nn.layers import merged_group_stats_norm
+
+                x = Gc - cprojc[:, :, None, :]
+                x = merged_group_stats_norm(
+                    x,
+                    [sc.norm_affine() for sc in scales],
+                    [(m[0], gnum) for m in self.mlps],
+                )
+                x = nn.relu(x)
+                n_layers = len(self.mlps[0])
+                for j in range(1, n_layers):
+                    Wbd = _block_diag(
+                        [sc.rest[j - 1].kernel() for sc in scales]
+                    ).astype(cd)
+                    x = x @ Wbd
+                    x = merged_group_stats_norm(
+                        x,
+                        [sc.rest[j - 1].affine() for sc in scales],
+                        [(m[j], gnum) for m in self.mlps],
+                    )
+                    x = nn.relu(x)
+                new_features = jnp.max(x, axis=2)
+                if return_inds:
+                    return new_xyz, new_features, inds
+                return new_xyz, new_features
 
             outs = []
             off = 0
