@@ -212,23 +212,47 @@ class FlowStep3D(nn.Module):
 
     # ------------------------------------------------------------------
 
-    def _encode_loc(self, pc, feature, fps_idx=None, train=True, bnm=0.1):
+    def _encode_loc(self, pc, feature, fps_idx=None, train=True, bnm=0.1,
+                    knn_idx=None, return_knn=False):
         """EncoderLoc (flownet_*.py EncoderLoc.forward): two SA levels with
-        reusable FPS indices; returns ([pc, pc_l1, pc_l2], feats, fps_idxs)."""
+        reusable FPS indices; returns ([pc, pc_l1, pc_l2], feats, fps_idxs
+        [, knn tables]).
+
+        Level 2's FPS reuses level 1's ordering (fps_nested — greedy FPS is
+        incremental, so a cloud already in selection order samples to its
+        prefix); approximate-neighbor mode only, exact mode keeps the
+        per-level reference FPS.  `knn_idx` freezes the per-level self-KNN
+        graphs (refinement-loop reuse, see __call__)."""
+        from ogc_tpu import ops as _ops
+
+        nested = not _ops.exact_neighbors()
         f1 = fps_idx[0] if fps_idx is not None else None
-        pc_l1, feat_l1, f1 = self.encoder_loc[0](
-            pc, feature, fps_idx=f1, train=train, bn_momentum=bnm
+        pc_l1, feat_l1, f1, k1 = self.encoder_loc[0](
+            pc, feature, fps_idx=f1, train=train, bn_momentum=bnm,
+            knn_idx=knn_idx[0] if knn_idx is not None else None,
+            return_knn=True,
         )
         f2 = fps_idx[1] if fps_idx is not None else None
-        pc_l2, feat_l2, f2 = self.encoder_loc[1](
-            pc_l1, feat_l1, fps_idx=f2, train=train, bn_momentum=bnm
+        pc_l2, feat_l2, f2, k2 = self.encoder_loc[1](
+            pc_l1, feat_l1, fps_idx=f2, train=train, bn_momentum=bnm,
+            fps_nested=nested,
+            knn_idx=knn_idx[1] if knn_idx is not None else None,
+            return_knn=True,
         )
-        return [pc, pc_l1, pc_l2], feat_l2, [f1, f2]
+        out = [pc, pc_l1, pc_l2], feat_l2, [f1, f2]
+        return out + ([k1, k2],) if return_knn else out
 
     def _encode_glob(self, pc, feature, train=True, bnm=0.1):
+        from ogc_tpu import ops as _ops
+
+        # The input cloud is an FPS stage's output (already in selection
+        # order), and each level's output keeps that order — every glob FPS
+        # nests (approx mode; see _encode_loc).
+        nested = not _ops.exact_neighbors()
         pc_l, feats = [pc], feature
         for sa in self.encoder_glob:
-            new_pc, feats, _ = sa(pc_l[-1], feats, train=train, bn_momentum=bnm)
+            new_pc, feats, _ = sa(pc_l[-1], feats, train=train,
+                                  bn_momentum=bnm, fps_nested=nested)
             pc_l.append(new_pc)
         return pc_l, feats
 
@@ -330,6 +354,17 @@ class FlowStep3D(nn.Module):
         bnm = bn_momentum
         flow_predictions = []
 
+        from ogc_tpu import ops as _ops
+
+        # Freeze the warped cloud's SELF-KNN graphs across refinement
+        # iterations (eval + approximate-neighbor mode): the per-iteration
+        # warp is near-rigid per object, so self-neighborhoods barely change,
+        # and the prefix's tables serve every iteration.  The cross-cloud
+        # correlation KNN (FlowEmbedding, pc1_new vs pc2) stays live — that
+        # matching IS the algorithm.  Exact mode recomputes per iteration
+        # (reference semantics, flownet_kitti.py:231-250).
+        freeze_knn = (not train) and (not _ops.exact_neighbors())
+        knn1 = None
         if train:
             # Separate passes: BatchNorm batch statistics and running-stat
             # updates must see each cloud on its own (reference order).
@@ -352,13 +387,15 @@ class FlowStep3D(nn.Module):
             B = pc1.shape[0]
             pc12 = jnp.concatenate([pc1, pc2], axis=0)
             f12 = jnp.concatenate([feature1, feature2], axis=0)
-            pc12_l, feats12, fps_idx12 = self._encode_loc(
-                pc12, f12, train=train, bnm=bnm
+            pc12_l, feats12, fps_idx12, knn12 = self._encode_loc(
+                pc12, f12, train=train, bnm=bnm, return_knn=True
             )
             pc1_l_loc = [p[:B] for p in pc12_l]
             pc2_l_loc = [p[B:] for p in pc12_l]
             feats1_loc, feats2_loc = feats12[:B], feats12[B:]
             fps_idx1 = [f[:B] for f in fps_idx12]
+            if freeze_knn:
+                knn1 = [k[:B] for k in knn12]
 
             pc12_g, f12g = self._encode_glob(
                 pc12_l[-1], feats12, train=train, bnm=bnm
@@ -416,13 +453,14 @@ class FlowStep3D(nn.Module):
             only for the k_decay damping scalar."""
             h, pc1_new, pc1_new_lr = carry
             (pc1, pc1_lr, pc2_lr, feats2_loc, lr_idx, up_idx, up_w,
-             bnm) = consts
+             bnm, knn1) = consts
             pc1_new = sg(pc1_new)
             pc1_new_lr = sg(pc1_new_lr)
             flow_lr = pc1_new_lr - pc1_lr
 
             pc1_new_l_loc, feats1_loc_new, _ = mdl._encode_loc(
-                pc1_new, pc1_new, fps_idx1, train=train, bnm=bnm
+                pc1_new, pc1_new, fps_idx1, train=train, bnm=bnm,
+                knn_idx=knn1,
             )
             _, corr_feats = mdl.local_corr_layer(
                 pc1_new_l_loc[-1], pc2_lr, feats1_loc_new, feats2_loc,
@@ -463,7 +501,7 @@ class FlowStep3D(nn.Module):
 
         consts = (
             pc1, pc1_l_loc[2], pc2_l_loc[-1], feats2_loc, lr_idx,
-            up_cache[0], up_cache[1], jnp.asarray(bnm, jnp.float32),
+            up_cache[0], up_cache[1], jnp.asarray(bnm, jnp.float32), knn1,
         )
         if self.is_initializing() or self.unroll_refine:
             # Unrolled during init: the scan's carried batch_stats don't

@@ -106,7 +106,13 @@ class MaskFormer3D(nn.Module):
         arch = self._arch()
         norm = dict(self.norm) if self.norm is not None else None
 
-        # PointNet++ encoder.
+        # PointNet++ encoder.  From stage 1 on, the input cloud is the
+        # previous FPS stage's output (in selection order) — greedy FPS
+        # nests, so the stage's sample is a prefix slice (approximate mode;
+        # exact mode keeps the reference's per-stage FPS).
+        from ogc_tpu import ops as _ops
+
+        nested_ok = not _ops.exact_neighbors()
         l_pc, l_feats = [pc], [point_feats]
         for si, stage in enumerate(arch.sa_stages):
             new_xyz, new_feats = SAModuleMSG(
@@ -117,7 +123,8 @@ class MaskFormer3D(nn.Module):
                 norm=norm,
                 use_xyz=self.use_xyz,
                 name=f"sa{si}",
-            )(l_pc[si], l_feats[si], train=train)
+            )(l_pc[si], l_feats[si], train=train,
+              fps_nested=nested_ok and si > 0)
             l_pc.append(new_xyz)
             l_feats.append(new_feats)
 

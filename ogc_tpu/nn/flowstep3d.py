@@ -243,7 +243,9 @@ class FlowSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features, fps_idx=None, train: bool = True,
-                 bn_momentum=0.1, group_idx=None, precomputed_split=None):
+                 bn_momentum=0.1, group_idx=None, precomputed_split=None,
+                 fps_nested: bool = False, knn_idx=None,
+                 return_knn: bool = False):
         """
         :param xyz: (B, N, 3); :param features: (B, N, C) or None.
         :param group_idx: optional precomputed (B, N, >=nsample) KNN table of
@@ -252,9 +254,24 @@ class FlowSAModule(nn.Module):
         :param precomputed_split: optional (raw, center_in) gather shared by
             several modules over the same (xyz, features, idx) — only with
             group_idx.
-        :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx).
+        :param fps_nested: the input cloud is already in FPS selection order
+            (it is the output of an upstream FPS stage).  Greedy FPS is
+            incremental — at every step the full-set argmax lies among the
+            already-selected prefix's candidates — so FPS(npoint) of such a
+            cloud IS its first npoint rows: the sample becomes a slice and
+            the returned fps_idx is arange.  Exact up to distance ties
+            (full-set runs break ties by original index, a nested run by
+            selection rank); callers gate this on approximate-neighbor mode.
+        :param knn_idx: optional precomputed (B, M, >=nsample) neighbor
+            table replacing the KNN search of new_xyz against xyz (requires
+            radius=None).  Used to freeze the self-KNN graph across flow
+            refinement iterations.
+        :param return_knn: also return the (B, M, nsample) neighbor table.
+        :return: (new_xyz (B, M, 3), new_feats (B, M, mlp[-1]), fps_idx
+            [, knn idx]).
         """
         if group_idx is not None:
+            assert not return_knn
             assert self.npoint in (None, -1, xyz.shape[1])
             if precomputed_split is not None:
                 # Caller-shared raw gather (e.g. the GRU's convz/convr group
@@ -276,9 +293,16 @@ class FlowSAModule(nn.Module):
             and self.npoint != -1
             and self.npoint != xyz.shape[1]
         ):
-            if fps_idx is None:
-                fps_idx = ops.furthest_point_sample(xyz, self.npoint)
-            new_xyz = ops.gather(xyz, fps_idx)
+            if fps_idx is None and fps_nested:
+                fps_idx = jnp.broadcast_to(
+                    jnp.arange(self.npoint, dtype=jnp.int32)[None],
+                    (xyz.shape[0], self.npoint),
+                )
+                new_xyz = xyz[:, : self.npoint]
+            else:
+                if fps_idx is None:
+                    fps_idx = ops.furthest_point_sample(xyz, self.npoint)
+                new_xyz = ops.gather(xyz, fps_idx)
         else:
             # npoint == N: identity.  The reference still runs FPS here
             # (flowstep3d_util.py:113-116), which permutes the cloud into
@@ -291,10 +315,15 @@ class FlowSAModule(nn.Module):
             # permutation-equivariant).
             new_xyz = xyz
         # KNN + radius clamp (QueryAndGroup semantics, pointnet2.py:281-301).
-        dist, idx = ops.knn(self.nsample, new_xyz, xyz)
-        if self.radius is not None:
-            nearest = idx[..., :1]
-            idx = jnp.where(dist > self.radius, nearest, idx)
+        if knn_idx is not None:
+            # Frozen/precomputed neighbor table (no clamp distances).
+            assert self.radius is None
+            idx = knn_idx[..., : self.nsample]
+        else:
+            dist, idx = ops.knn(self.nsample, new_xyz, xyz)
+            if self.radius is not None:
+                nearest = idx[..., :1]
+                idx = jnp.where(dist > self.radius, nearest, idx)
         grouped, split, fold = self._grouped_inputs(
             xyz, new_xyz, idx, features, train
         )
@@ -306,6 +335,8 @@ class FlowSAModule(nn.Module):
             out = jnp.mean(h, axis=2)
         else:
             out = jnp.max(h, axis=2)
+        if return_knn:
+            return new_xyz, out, fps_idx, idx
         return new_xyz, out, fps_idx
 
 

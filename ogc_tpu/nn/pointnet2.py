@@ -182,7 +182,7 @@ class SAModuleMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, return_inds=False,
-                 train: bool = False):
+                 train: bool = False, fps_nested: bool = False):
         """
         :param xyz: (B, N, 3); :param features: optional (B, N, C).
         :param train: training step?  GroupNorm itself is train/eval
@@ -190,11 +190,22 @@ class SAModuleMSG(nn.Module):
             source-projected fold is an INFERENCE layout (its backward
             measured slower than the split path's), training keeps the
             raw-gather split.
+        :param fps_nested: the input cloud is an upstream FPS stage's output
+            (in selection order) — greedy FPS is incremental, so this
+            stage's FPS is its first-npoint prefix (a slice).  Exact up to
+            distance ties; callers gate on approximate-neighbor mode.
         :return: (new_xyz (B, npoint, 3), new_features (B, npoint, sum(out)))
         """
         if self.npoint is not None:
-            inds = ops.furthest_point_sample(xyz, self.npoint)
-            new_xyz = ops.gather(xyz, inds)
+            if fps_nested:
+                inds = jnp.broadcast_to(
+                    jnp.arange(self.npoint, dtype=jnp.int32)[None],
+                    (xyz.shape[0], self.npoint),
+                )
+                new_xyz = xyz[:, : self.npoint]
+            else:
+                inds = ops.furthest_point_sample(xyz, self.npoint)
+                new_xyz = ops.gather(xyz, inds)
             # One KNN serves every scale: reference MSG scales share nsample
             # and differ only in the clamp radius (segnet_sapien.py:28-33),
             # and smaller nsamples are sorted prefixes of the larger.

@@ -65,6 +65,14 @@ def set_exact_neighbors(exact: bool) -> None:
     _EXACT_DEFAULT = exact
 
 
+def exact_neighbors() -> bool:
+    """Current exact-mode default.  NOTE: like the ops' `exact=None`
+    resolution, callers branching on this inside a jitted function bake in
+    the value at first trace (jit caches on the traced graph) — fine for
+    mode-per-program use, wrong for toggling under one jitted callable."""
+    return _EXACT_DEFAULT
+
+
 def square_distance(a: Array, b: Array) -> Array:
     """Pairwise squared L2 distances.
 

@@ -240,3 +240,31 @@ def test_flow_embedding_split_bf16_close_to_f32():
         set_compute_dtype(None)
     d = np.abs(np.asarray(out) - np.asarray(ref))
     assert d.max() < 0.25 and d.mean() < 0.02, (d.max(), d.mean())
+
+
+def test_nested_frozen_eval_close_to_exact_mode():
+    """Default (approximate) eval mode adds two gated deviations on top of
+    approx-KNN: nested FPS (math-exact, slice instead of re-sample) and a
+    frozen refinement self-KNN graph.  On CPU approx KNN lowers to exact, so
+    exact-mode vs default-mode eval isolates exactly those two — the flow
+    fields must agree to ~1e-2 of the flow scale."""
+    from ogc_tpu import ops
+
+    model = FlowStep3D(npoint=128, arch="sapien", k_decay_fact=0.5)
+    rng = np.random.RandomState(3)
+    pc1 = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+    pc2 = jnp.asarray(pc1 + 0.05 * rng.randn(2, 128, 3).astype(np.float32))
+    try:
+        ops.set_exact_neighbors(True)
+        variables = model.init(jax.random.PRNGKey(0), pc1, pc2, pc1, pc2, 2)
+        f_exact = np.asarray(
+            model.apply(variables, pc1, pc2, pc1, pc2, 4, train=False)[-1]
+        )
+        ops.set_exact_neighbors(False)
+        f_fast = np.asarray(
+            model.apply(variables, pc1, pc2, pc1, pc2, 4, train=False)[-1]
+        )
+    finally:
+        ops.set_exact_neighbors(False)
+    scale = np.abs(f_exact).max() + 1e-6
+    assert np.abs(f_exact - f_fast).max() / scale < 2e-2

@@ -227,3 +227,15 @@ def _distinct_knn_traces():
     from ogc_tpu.ops.core import _knn_jit
 
     return _knn_jit._cache_size()
+
+
+def test_fps_nesting_identity(rng):
+    """Greedy FPS is incremental: FPS of a cloud already in FPS selection
+    order is its own prefix (the basis of the models' fps_nested slices)."""
+    xyz = jnp.asarray(rng.rand(3, 256, 3).astype(np.float32) * 30)
+    lvl1 = ops.gather(xyz, ops.furthest_point_sample(xyz, 128))
+    got = np.asarray(ops.furthest_point_sample(lvl1, 64))
+    np.testing.assert_array_equal(got, np.broadcast_to(np.arange(64), (3, 64)))
+    lvl2 = lvl1[:, :64]  # still in selection order -> nests again
+    got2 = np.asarray(ops.furthest_point_sample(lvl2, 32))
+    np.testing.assert_array_equal(got2, np.broadcast_to(np.arange(32), (3, 32)))
