@@ -18,6 +18,14 @@ import jax.numpy as jnp
 from ogc_tpu import ops
 
 
+def _pool_neighbors(x, mean: bool, train: bool):
+    """Neighbor-axis reduce; Pallas rowgroup kernel on TPU eval forwards
+    (see ops/pallas_pool.pool_neighbors)."""
+    from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+    return pool_neighbors(x, mean=mean, differentiable=train)
+
+
 class SchedulableBatchNorm(nn.Module):
     """BatchNorm over all axes but the last, with momentum as a call arg.
 
@@ -122,10 +130,13 @@ class _NormedConvStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum=0.1,
-                 split_first=None, fold_first=None):
+                 split_first=None, fold_first=None, pool=None):
         from ogc_tpu.nn.layers import compute_dtype
+        from ogc_tpu.ops.pallas_pool import pool_neighbors
 
+        pooled = False
         for i, c in enumerate(self.mlp):
+            last = i == len(self.mlp) - 1
             if i == 0 and fold_first is not None:
                 # Source-projected grouping (eval + bf16 + BatchNorm only):
                 # apply the first Dense to the N SOURCE points BEFORE the
@@ -167,10 +178,23 @@ class _NormedConvStack(nn.Module):
                     )
                     g = ops.group((proj * k_s).astype(cd), idx)
                     cterm = (b_s - cproj * k_s).astype(cd)
-                    x = nn.relu(g + cterm[:, :, None, :])
                 else:
                     g = ops.group(proj.astype(cd), idx)
-                    x = g - cproj.astype(cd)[:, :, None, :]
+                    cterm = -cproj.astype(cd)
+                if last and pool is not None and not train:
+                    # Single-layer stack (GRU gates, H0 second conv): the
+                    # group add + act + neighbor reduce all fold into the
+                    # pool kernel — the activated grouped tensor is never
+                    # materialized.
+                    x = pool_neighbors(
+                        g, mean=pool == "mean", differentiable=False,
+                        add=cterm, relu=self.use_act,
+                    )
+                    pooled = True
+                    continue
+                x = g + cterm[:, :, None, :]
+                if self.use_act:
+                    x = nn.relu(x)
                 continue
             if i == 0 and split_first is not None:
                 raw, center_in = split_first
@@ -185,6 +209,23 @@ class _NormedConvStack(nn.Module):
             else:
                 x = nn.Dense(c, use_bias=False, dtype=compute_dtype())(x)
             if self.use_act:
+                if (
+                    last and pool is not None and not train
+                    and not self.use_instance_norm
+                ):
+                    # Eval BatchNorm is a per-channel affine: fold it (and
+                    # the ReLU) into the pool kernel instead of writing the
+                    # post-norm grouped tensor.
+                    k_s, b_s = SchedulableBatchNorm()(
+                        x, use_running_average=True, momentum=bn_momentum,
+                        return_affine=True,
+                    )
+                    x = pool_neighbors(
+                        x, mean=pool == "mean", differentiable=False,
+                        scale=k_s, add=b_s, relu=True,
+                    )
+                    pooled = True
+                    continue
                 # Norms run in the compute dtype (stats in f32 inside): no
                 # per-layer f32 materialization of the grouped tensors.
                 if self.use_instance_norm:
@@ -194,6 +235,9 @@ class _NormedConvStack(nn.Module):
                         x, use_running_average=not train, momentum=bn_momentum
                     )
                 x = nn.relu(x)
+        if pool is not None and not pooled:
+            # Pool in the compute dtype, before the f32 cast.
+            x = _pool_neighbors(x, pool == "mean", train)
         return x.astype(jnp.float32)
 
 
@@ -282,11 +326,11 @@ class FlowSAModule(nn.Module):
                 grouped, split, fold = self._grouped_inputs(
                     xyz, xyz, group_idx[..., : self.nsample], features, train
                 )
-            h = _NormedConvStack(
+            out = _NormedConvStack(
                 tuple(self.mlp), self.use_instance_norm, self.use_act
             )(grouped, train=train, bn_momentum=bn_momentum,
-              split_first=split, fold_first=fold)
-            out = jnp.mean(h, axis=2) if self.mean_aggr else jnp.max(h, axis=2)
+              split_first=split, fold_first=fold,
+              pool="mean" if self.mean_aggr else "max")
             return xyz, out, fps_idx
         if (
             self.npoint is not None
@@ -327,14 +371,11 @@ class FlowSAModule(nn.Module):
         grouped, split, fold = self._grouped_inputs(
             xyz, new_xyz, idx, features, train
         )
-        h = _NormedConvStack(
+        out = _NormedConvStack(
             tuple(self.mlp), self.use_instance_norm, self.use_act
         )(grouped, train=train, bn_momentum=bn_momentum,
-          split_first=split, fold_first=fold)
-        if self.mean_aggr:
-            out = jnp.mean(h, axis=2)
-        else:
-            out = jnp.max(h, axis=2)
+          split_first=split, fold_first=fold,
+          pool="mean" if self.mean_aggr else "max")
         if return_knn:
             return new_xyz, out, fps_idx, idx
         return new_xyz, out, fps_idx
@@ -420,15 +461,15 @@ class FlowEmbedding(nn.Module):
                 tuple(self.mlp), self.use_instance_norm,
                 name="_NormedConvStack_0",
             )(None, pos1, feature1, train=train, bn_momentum=bn_momentum,
-              fold_src=(pos2, feature2, idx))
-            return pos1, jnp.max(x, axis=2)
+              fold_src=(pos2, feature2, idx), pool="max")
+            return pos1, x
 
         # Fused single row-gather of [pos2, feature2].
         g = ops.group(jnp.concatenate([pos2, feature2], axis=-1), idx)
         x = _FlowEmbedStack(
             tuple(self.mlp), self.use_instance_norm, name="_NormedConvStack_0"
-        )(g, pos1, feature1, train=train, bn_momentum=bn_momentum)
-        return pos1, jnp.max(x, axis=2)
+        )(g, pos1, feature1, train=train, bn_momentum=bn_momentum, pool="max")
+        return pos1, x
 
 
 class _RawKernel(nn.Module):
@@ -470,9 +511,24 @@ class _FlowEmbedStack(nn.Module):
             return InstanceNorm(name=f"InstanceNorm_{i}")
         return SchedulableBatchNorm(name=f"SchedulableBatchNorm_{i}")
 
+    def _fold_norm_pool(self, x, i, bn_momentum, pool):
+        """Eval-mode last layer: fold the BatchNorm affine + ReLU into the
+        neighbor pool (see ops/pallas_pool.pool_neighbors)."""
+        from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+        k_s, b_s = self._norm(i)(
+            x, use_running_average=True, momentum=bn_momentum,
+            return_affine=True,
+        )
+        x = pool_neighbors(
+            x, mean=pool == "mean", differentiable=False,
+            scale=k_s, add=b_s, relu=True,
+        )
+        return x, True
+
     @nn.compact
     def __call__(self, g, pos1, feat1, train: bool = True, bn_momentum=0.1,
-                 fold_src=None):
+                 fold_src=None, pool=None):
         from ogc_tpu.nn.layers import compute_dtype
 
         c2 = (g.shape[-1] if fold_src is None else fold_src[1].shape[-1] + 3) - 3
@@ -501,14 +557,23 @@ class _FlowEmbedStack(nn.Module):
             gp = ops.group((proj2 * k_s).astype(cd), idx)
             cterm = (point * k_s + b_s).astype(cd)
             x = nn.relu(gp + cterm[:, :, None, :])
+            pooled = False
             for i, c in enumerate(self.mlp[1:], start=1):
                 x = nn.Dense(
                     c, use_bias=False, dtype=compute_dtype(), name=f"Dense_{i}"
                 )(x)
+                if (
+                    i == len(self.mlp) - 1 and pool is not None
+                    and not train and not self.use_instance_norm
+                ):
+                    x, pooled = self._fold_norm_pool(x, i, bn_momentum, pool)
+                    continue
                 x = self._norm(i)(
                     x, use_running_average=not train, momentum=bn_momentum
                 )
                 x = nn.relu(x)
+            if pool is not None and not pooled:
+                x = _pool_neighbors(x, pool == "mean", train)
             return x.astype(jnp.float32)
 
         if compute_dtype() == jnp.bfloat16:
@@ -531,10 +596,17 @@ class _FlowEmbedStack(nn.Module):
             x, use_running_average=not train, momentum=bn_momentum
         )
         x = nn.relu(x)
+        pooled = False
         for i, c in enumerate(self.mlp[1:], start=1):
             x = nn.Dense(
                 c, use_bias=False, dtype=compute_dtype(), name=f"Dense_{i}"
             )(x)
+            if (
+                i == len(self.mlp) - 1 and pool is not None
+                and not train and not self.use_instance_norm
+            ):
+                x, pooled = self._fold_norm_pool(x, i, bn_momentum, pool)
+                continue
             if self.use_instance_norm:
                 x = self._norm(i)(x)
             else:
@@ -542,4 +614,6 @@ class _FlowEmbedStack(nn.Module):
                     x, use_running_average=not train, momentum=bn_momentum
                 )
             x = nn.relu(x)
+        if pool is not None and not pooled:
+            x = _pool_neighbors(x, pool == "mean", train)
         return x.astype(jnp.float32)

@@ -216,6 +216,7 @@ class SAModuleMSG(nn.Module):
             new_xyz = None
 
         from ogc_tpu.nn.layers import compute_dtype
+        from ogc_tpu.ops.pallas_pool import pool_neighbors
 
         # bf16 compute: SOURCE-PROJECTED grouping — by linearity the first
         # Dense of each scale applies to the N source points BEFORE the
@@ -363,7 +364,7 @@ class SAModuleMSG(nn.Module):
                         [(m[j], gnum) for m in self.mlps],
                     )
                     x = nn.relu(x)
-                new_features = jnp.max(x, axis=2)
+                new_features = pool_neighbors(x, differentiable=train)
                 if return_inds:
                     return new_xyz, new_features, inds
                 return new_xyz, new_features
@@ -383,7 +384,7 @@ class SAModuleMSG(nn.Module):
                     )
                 x = Gs - cprojc[..., off : off + c0][:, :, None, :]
                 h = sc.post(x)
-                outs.append(jnp.max(h, axis=2))
+                outs.append(pool_neighbors(h, differentiable=train))
                 off += c0
             new_features = jnp.concatenate(outs, axis=-1)
             if return_inds:
@@ -403,7 +404,7 @@ class SAModuleMSG(nn.Module):
             else:
                 grouped, _ = ops.group_all(xyz, features, use_xyz=self.use_xyz)
             h = SharedMLP(tuple(mlp), norm=self.norm)(grouped)
-            outs.append(jnp.max(h, axis=2))  # maxpool over neighborhood
+            outs.append(pool_neighbors(h, differentiable=train))  # neighborhood maxpool
         new_features = jnp.concatenate(outs, axis=-1)
         if return_inds:
             return new_xyz, new_features, inds

@@ -1,0 +1,121 @@
+"""Row-group pool kernel vs numpy oracle (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ogc_tpu.ops.pallas_pool import rowgroup_pool, supported
+
+
+def oracle(x, scale, add, s, relu, mean):
+    n, c = x.shape[0] // s, x.shape[1]
+    y = x.astype(np.float32).reshape(n, s, c) * scale.astype(np.float32)
+    y = y + add.astype(np.float32)[:, None, :]
+    if relu:
+        y = np.maximum(y, 0.0)
+    return y.mean(axis=1) if mean else y.max(axis=1)
+
+
+@pytest.mark.parametrize("s,c", [(4, 128), (8, 64), (16, 32), (32, 128),
+                                 (32, 16), (16, 256)])
+@pytest.mark.parametrize("relu,mean", [(True, False), (False, False),
+                                       (True, True)])
+def test_rowgroup_pool_matches_oracle(s, c, relu, mean):
+    rng = np.random.RandomState(0)
+    n_groups = 512
+    x = rng.randn(n_groups * s, c).astype(np.float32)
+    scale = rng.rand(c).astype(np.float32) + 0.5
+    add = rng.randn(n_groups, c).astype(np.float32)
+    assert supported(n_groups, s, c)
+    got = rowgroup_pool(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(add), s,
+        relu=relu, mean=mean, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), oracle(x, scale, add, s, relu, mean),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_rowgroup_pool_bf16_rows():
+    rng = np.random.RandomState(1)
+    s, c, n_groups = 32, 32, 256
+    x = rng.randn(n_groups * s, c).astype(np.float32)
+    scale = np.ones(c, np.float32)
+    add = rng.randn(n_groups, c).astype(np.float32)
+    got = rowgroup_pool(
+        jnp.asarray(x).astype(jnp.bfloat16), jnp.asarray(scale),
+        jnp.asarray(add).astype(jnp.bfloat16), s, interpret=True,
+        out_dtype=jnp.float32,
+    )
+    want = oracle(
+        np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)),
+        scale,
+        np.asarray(jnp.asarray(add).astype(jnp.bfloat16).astype(jnp.float32)),
+        s, True, False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+
+
+def test_rowgroup_pool_broadcast_add():
+    rng = np.random.RandomState(2)
+    s, c, n_groups = 8, 128, 128
+    x = rng.randn(n_groups * s, c).astype(np.float32)
+    scale = rng.rand(c).astype(np.float32)
+    add1 = rng.randn(1, c).astype(np.float32)
+    got = rowgroup_pool(
+        jnp.asarray(x), jnp.asarray(scale), jnp.asarray(add1), s,
+        interpret=True,
+    )
+    want = oracle(x, scale, np.broadcast_to(add1, (n_groups, c)), s,
+                  True, False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_pool_neighbors_affine_fold_matches_bn_chain():
+    """pool_neighbors(scale=k, add=b, relu=True) == eval-BatchNorm-apply +
+    relu + reduce — the classic inference BN fold the flow stacks use on
+    their last layer (nn/flowstep3d.py _fold_norm_pool)."""
+    from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+    rng = np.random.RandomState(3)
+    b, m, s, c = 2, 64, 8, 32
+    x = jnp.asarray(rng.randn(b, m, s, c).astype(np.float32))
+    mean = rng.randn(c).astype(np.float32)
+    var = rng.rand(c).astype(np.float32) + 0.3
+    scale = rng.randn(c).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+    eps = 1e-5
+
+    ref = np.maximum(
+        (np.asarray(x) - mean) / np.sqrt(var + eps) * scale + bias, 0.0
+    )
+    k = jnp.asarray(scale / np.sqrt(var + eps))
+    bb = jnp.asarray(bias - mean * (scale / np.sqrt(var + eps)))
+    for mn in (False, True):
+        want = ref.mean(axis=2) if mn else ref.max(axis=2)
+        got = pool_neighbors(x, mean=mn, differentiable=False,
+                             scale=k, add=bb, relu=True)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_pool_neighbors_pergroup_add():
+    """Per-group (B, M, C) add — the source-projected center term of the
+    single-layer fold path (GRU gates)."""
+    from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+    rng = np.random.RandomState(4)
+    b, m, s, c = 2, 32, 4, 16
+    x = jnp.asarray(rng.randn(b, m, s, c).astype(np.float32))
+    add = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    want = (np.asarray(x) + np.asarray(add)[:, :, None, :]).max(axis=2)
+    got = pool_neighbors(x, differentiable=False, add=add, relu=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_supported_gates():
+    assert not supported(512, 24, 128)   # non-power-of-two S
+    assert not supported(512, 1, 128)
+    assert supported(16384, 32, 32)
+    assert supported(2048 * 8, 4, 128)

@@ -113,15 +113,75 @@ def vote_scale_smoke():
           f"(rowsum err {np.abs(voted.sum(-1) - 1).max():.2e})", flush=True)
 
 
+def pool_kernel_smoke():
+    """rowgroup_pool (ops/pallas_pool.py) vs the jnp reduce ON THE CHIP at
+    every (S, C) the models pool — the CPU suite only exercises interpret
+    mode, and Mosaic sublane-group reshapes are exactly the kind of thing
+    that behaves differently compiled (cf. the N=128 FPS edge case, r1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.ops.pallas_pool import rowgroup_pool, supported
+
+    rng = np.random.RandomState(0)
+    shapes = [  # (n_groups, S, C) drawn from kitti flow/seg pooling sites
+        (8 * 4096, 32, 32), (8 * 2048, 32, 64), (8 * 2048, 32, 128),
+        (8 * 2048, 16, 128), (8 * 2048, 4, 128), (8 * 2048, 8, 16),
+        (16 * 1024, 32, 128), (16 * 256, 16, 256), (8, 2048, 131),
+    ]
+    for mean in (False, True):
+        for (n, s, c) in shapes:
+            if not supported(n, s, c):
+                print(f"pool skip (unsupported): n={n} s={s} c={c}")
+                continue
+            x = rng.randn(n * s, c).astype(np.float32)
+            for dt in (jnp.float32, jnp.bfloat16):
+                xd = jnp.asarray(x).astype(dt)
+                got = rowgroup_pool(
+                    xd, jnp.ones((c,), jnp.float32), jnp.zeros((1, c), dt),
+                    s, relu=False, mean=mean,
+                )
+                want = (jnp.mean if mean else jnp.max)(
+                    xd.reshape(n, s, c), axis=1
+                )
+                err = float(
+                    jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32)))
+                )
+                tol = 1e-6 if dt == jnp.float32 else (2e-2 if mean else 0.0)
+                assert err <= tol, (n, s, c, mean, str(dt), err)
+        print(f"pool_kernel ok (mean={mean}): {len(shapes)} shapes, "
+              "f32 + bf16", flush=True)
+
+    # Affine + ReLU fold (eval BN / per-group center term) on model shapes.
+    for (n, s, c) in [(8 * 2048, 4, 128), (8 * 2048, 16, 128),
+                      (16 * 1024, 32, 128)]:
+        x = rng.randn(n * s, c).astype(np.float32)
+        scale = (rng.rand(c) + 0.5).astype(np.float32)
+        add = rng.randn(n, c).astype(np.float32)
+        got = rowgroup_pool(
+            jnp.asarray(x), jnp.asarray(scale), jnp.asarray(add),
+            s, relu=True, mean=False,
+        )
+        want = np.maximum(
+            x.reshape(n, s, c) * scale + add[:, None, :], 0.0
+        ).max(axis=1)
+        err = float(jnp.max(jnp.abs(got - jnp.asarray(want))))
+        assert err <= 1e-5, (n, s, c, "affine", err)
+    print("pool_kernel ok (affine+relu): 3 shapes", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true",
                     help="run in the bf16 compute mode")
-    ap.add_argument("--mode", choices=("seg", "flow", "vote_scale"),
+    ap.add_argument("--mode",
+                    choices=("seg", "flow", "vote_scale", "pool_kernel"),
                     default="seg",
                     help="seg: round-alternation pipeline; flow: "
                          "train_flow + test_flow --save; vote_scale: "
-                         "mask_voting at 8192 pts / 6 frames on-chip")
+                         "mask_voting at 8192 pts / 6 frames on-chip; "
+                         "pool_kernel: rowgroup_pool vs jnp on-chip")
     ap.add_argument("--n_points", type=int, default=512)
     ap.add_argument("--keep", action="store_true", help="keep the tmp dir")
     args = ap.parse_args()
@@ -129,6 +189,10 @@ def main():
     if args.mode == "vote_scale":
         vote_scale_smoke()
         print("TPU E2E SMOKE OK [vote_scale]", flush=True)
+        return
+    if args.mode == "pool_kernel":
+        pool_kernel_smoke()
+        print("TPU E2E SMOKE OK [pool_kernel]", flush=True)
         return
 
     from synth import make_sapien_root
