@@ -26,6 +26,21 @@ def _pool_neighbors(x, mean: bool, train: bool):
     return pool_neighbors(x, mean=mean, differentiable=train)
 
 
+def _fold_bn_pool(norm_mod, x, pool):
+    """Eval-mode last layer of a grouped stack: the eval BatchNorm is a
+    per-channel affine — fold it and the ReLU into the neighbor pool so the
+    post-norm grouped tensor is never materialized (pallas_pool)."""
+    from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+    k_s, b_s = norm_mod(
+        x, use_running_average=True, return_affine=True,
+    )
+    return pool_neighbors(
+        x, mean=pool == "mean", differentiable=False,
+        scale=k_s, add=b_s, relu=True,
+    )
+
+
 class SchedulableBatchNorm(nn.Module):
     """BatchNorm over all axes but the last, with momentum as a call arg.
 
@@ -213,17 +228,7 @@ class _NormedConvStack(nn.Module):
                     last and pool is not None and not train
                     and not self.use_instance_norm
                 ):
-                    # Eval BatchNorm is a per-channel affine: fold it (and
-                    # the ReLU) into the pool kernel instead of writing the
-                    # post-norm grouped tensor.
-                    k_s, b_s = SchedulableBatchNorm()(
-                        x, use_running_average=True, momentum=bn_momentum,
-                        return_affine=True,
-                    )
-                    x = pool_neighbors(
-                        x, mean=pool == "mean", differentiable=False,
-                        scale=k_s, add=b_s, relu=True,
-                    )
+                    x = _fold_bn_pool(SchedulableBatchNorm(), x, pool)
                     pooled = True
                     continue
                 # Norms run in the compute dtype (stats in f32 inside): no
@@ -512,19 +517,7 @@ class _FlowEmbedStack(nn.Module):
         return SchedulableBatchNorm(name=f"SchedulableBatchNorm_{i}")
 
     def _fold_norm_pool(self, x, i, bn_momentum, pool):
-        """Eval-mode last layer: fold the BatchNorm affine + ReLU into the
-        neighbor pool (see ops/pallas_pool.pool_neighbors)."""
-        from ogc_tpu.ops.pallas_pool import pool_neighbors
-
-        k_s, b_s = self._norm(i)(
-            x, use_running_average=True, momentum=bn_momentum,
-            return_affine=True,
-        )
-        x = pool_neighbors(
-            x, mean=pool == "mean", differentiable=False,
-            scale=k_s, add=b_s, relu=True,
-        )
-        return x, True
+        return _fold_bn_pool(self._norm(i), x, pool), True
 
     @nn.compact
     def __call__(self, g, pos1, feat1, train: bool = True, bn_momentum=0.1,

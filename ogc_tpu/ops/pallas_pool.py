@@ -79,7 +79,11 @@ def pool_neighbors(x: Array, mean: bool = False,
         y = y + ad.astype(y.dtype)
     if relu:
         y = jnp.maximum(y, 0.0)
-    return jnp.mean(y, axis=2) if mean else jnp.max(y, axis=2)
+    if mean:
+        # Accumulate in f32 (matches the kernel; bf16 mean over S=4..32
+        # neighbors loses ~1e-2 relative), round once to the input dtype.
+        return jnp.mean(y.astype(jnp.float32), axis=2).astype(y.dtype)
+    return jnp.max(y, axis=2)
 
 
 def _pool_kernel(s, g, relu, mean, x_ref, scale_ref, add_ref, out_ref):
@@ -143,13 +147,20 @@ def rowgroup_pool(
     r, c = x.shape
     assert r % s == 0, (r, s)
     n_groups = r // s
-    if add.shape[0] == 1 and n_groups > 1:
-        add = jnp.broadcast_to(add, (n_groups, c))
+    assert add.shape[0] in (1, n_groups), (add.shape, n_groups)
     g = _pick_g(n_groups, s)
     assert n_groups % g == 0 and (g * s) % 8 == 0, (n_groups, g, s)
     out_dtype = out_dtype or x.dtype
     kernel = functools.partial(
         _pool_kernel, s, g, relu, mean
+    )
+    # A (1, C) add keeps its own whole-array block (the kernel broadcasts)
+    # — materializing an (n_groups, C) broadcast would stream an extra
+    # output-sized HBM buffer through every call.
+    add_spec = (
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        if add.shape[0] == 1
+        else pl.BlockSpec((g, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         kernel,
@@ -159,7 +170,7 @@ def rowgroup_pool(
             pl.BlockSpec((g * s, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            add_spec,
         ],
         out_specs=pl.BlockSpec((g, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -17,7 +17,7 @@ def oracle(x, scale, add, s, relu, mean):
 
 
 @pytest.mark.parametrize("s,c", [(4, 128), (8, 64), (16, 32), (32, 128),
-                                 (32, 16), (16, 256)])
+                                 (32, 16), (16, 256), (64, 64)])
 @pytest.mark.parametrize("relu,mean", [(True, False), (False, False),
                                        (True, True)])
 def test_rowgroup_pool_matches_oracle(s, c, relu, mean):

@@ -128,12 +128,15 @@ def pool_kernel_smoke():
         (8 * 4096, 32, 32), (8 * 2048, 32, 64), (8 * 2048, 32, 128),
         (8 * 2048, 16, 128), (8 * 2048, 4, 128), (8 * 2048, 8, 16),
         (16 * 1024, 32, 128), (16 * 256, 16, 256), (8, 2048, 131),
+        (8 * 2048, 64, 64), (8 * 512, 64, 256),  # seg MSG stages (S=64)
     ]
     for mean in (False, True):
+        n_ok = 0
         for (n, s, c) in shapes:
             if not supported(n, s, c):
                 print(f"pool skip (unsupported): n={n} s={s} c={c}")
                 continue
+            n_ok += 1
             x = rng.randn(n * s, c).astype(np.float32)
             for dt in (jnp.float32, jnp.bfloat16):
                 xd = jnp.asarray(x).astype(dt)
@@ -150,7 +153,7 @@ def pool_kernel_smoke():
                 )
                 tol = 1e-6 if dt == jnp.float32 else (2e-2 if mean else 0.0)
                 assert err <= tol, (n, s, c, mean, str(dt), err)
-        print(f"pool_kernel ok (mean={mean}): {len(shapes)} shapes, "
+        print(f"pool_kernel ok (mean={mean}): {n_ok}/{len(shapes)} shapes, "
               "f32 + bf16", flush=True)
 
     # Affine + ReLU fold (eval BN / per-group center term) on model shapes.
