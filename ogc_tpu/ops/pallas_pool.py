@@ -52,11 +52,17 @@ def pool_neighbors(x: Array, mean: bool = False,
     stage (traced r2) — and folds the affine/ReLU so the post-norm tensor
     is never materialized.  Exact math.  Training (autodiff needs a VJP),
     CPU, and unsupported shapes keep the jnp chain.
+
+    OGC_PALLAS_POOL=off disables the kernel (A/B experiments; read at
+    trace time, set before process start like OGC_PALLAS_SCATTER).
     """
+    import os
+
     b, m, s, c = x.shape
     if (
         not differentiable
         and jax.default_backend() == "tpu"
+        and os.environ.get("OGC_PALLAS_POOL", "on") != "off"
         and supported(b * m, s, c)
     ):
         sc = (jnp.ones((c,), jnp.float32) if scale is None
