@@ -59,10 +59,16 @@ def pool_neighbors(x: Array, mean: bool = False,
     import os
 
     b, m, s, c = x.shape
+    mode = os.environ.get("OGC_PALLAS_POOL", "on")
+    on_tpu = jax.default_backend() == "tpu"
     if (
         not differentiable
-        and jax.default_backend() == "tpu"
-        and os.environ.get("OGC_PALLAS_POOL", "on") != "off"
+        and mode != "off"
+        # "interpret": route through the kernel in interpret mode on any
+        # backend — lets the CPU suite exercise the REAL model->kernel glue
+        # (row-major group reshapes, add layout, dtypes), not just the
+        # fallback.  Test-only; read at trace time.
+        and (on_tpu or mode == "interpret")
         and supported(b * m, s, c)
     ):
         sc = (jnp.ones((c,), jnp.float32) if scale is None
@@ -75,6 +81,7 @@ def pool_neighbors(x: Array, mean: bool = False,
             ad = add.reshape(b * m, c).astype(x.dtype)
         out = rowgroup_pool(
             x.reshape(b * m * s, c), sc, ad, s, relu=relu, mean=mean,
+            interpret=not on_tpu,
         )
         return out.reshape(b, m, c)
     y = x

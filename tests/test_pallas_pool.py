@@ -114,6 +114,45 @@ def test_pool_neighbors_pergroup_add():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
 
 
+def test_model_eval_kernel_glue_matches_fallback(monkeypatch):
+    """OGC_PALLAS_POOL=interpret routes the REAL eval forwards through the
+    kernel (interpret mode) — catches model->kernel glue bugs (group-major
+    reshape, add layout, BN-fold wiring) the fallback path can't see."""
+    import jax
+
+    from ogc_tpu.nn.flowstep3d import FlowSAModule
+
+    rng = np.random.RandomState(5)
+    xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+
+    # Multi-layer BN stack (exercises the last-layer BN-affine fold) and a
+    # single-layer no-act stack (the GRU-gate shape).
+    for kwargs in (
+        dict(npoint=32, nsample=8, mlp=(16, 32), radius=None),
+        dict(npoint=32, nsample=8, mlp=(16,), use_act=False, radius=None),
+    ):
+        m = FlowSAModule(**kwargs)
+        v = m.init(jax.random.PRNGKey(0), xyz, feat)
+        # Perturb running stats so the eval BN affine is non-trivial.
+        import flax
+
+        v = flax.core.unfreeze(v)
+        if "batch_stats" in v:  # absent for the no-act single-layer stack
+            v["batch_stats"] = jax.tree_util.tree_map(
+                lambda a: a + 0.3 * jnp.abs(jnp.asarray(
+                    np.random.RandomState(9).randn(*a.shape), a.dtype)),
+                v["batch_stats"],
+            )
+        monkeypatch.delenv("OGC_PALLAS_POOL", raising=False)
+        _, ref, _ = m.apply(v, xyz, feat, train=False)
+        monkeypatch.setenv("OGC_PALLAS_POOL", "interpret")
+        _, got, _ = m.apply(v, xyz, feat, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_supported_gates():
     assert not supported(512, 24, 128)   # non-power-of-two S
     assert not supported(512, 1, 128)
