@@ -122,6 +122,42 @@ def global_batch_size(mesh: Mesh, b_local: int) -> int:
     return int(all_b.sum())
 
 
+def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data"):
+    """Wrap a jitted per-batch eval forward for data-parallel serving.
+
+    :param jitted: jitted fn(params, *batch_arrays) -> pytree of arrays
+        with a leading batch axis.
+    :param n_devices: devices to spread the batch over; 0 = all local
+        devices, 1 = plain single-device wrapper (no mesh).
+    :return: fn(*host_arrays) -> same pytree as np arrays, sliced back to
+        the true (unpadded) batch.
+
+    Eval forwards are per-sample independent (norms read running stats /
+    per-sample statistics), so sharding the batch axis is exact: XLA
+    partitions the whole forward over the mesh and the padded duplicate
+    rows are sliced off host-side before any metric sees them.  The
+    reference evaluates on one GPU (test_seg.py:101-160); multi-device
+    eval is TPU-first serving surface on top of the same math.
+    """
+    devices = jax.devices()
+    n = len(devices) if n_devices == 0 else n_devices
+    if n <= 1:
+        def fwd1(*arrays):
+            out = jitted(params, *arrays)
+            return jax.tree_util.tree_map(np.asarray, out)
+
+        return fwd1
+    mesh = make_mesh(devices[:n], axis)
+    rep = replicate(mesh, params)
+
+    def fwd(*arrays):
+        sh, b = shard_padded(mesh, [np.asarray(a) for a in arrays], axis)
+        out = jitted(rep, *sh)
+        return jax.tree_util.tree_map(lambda y: local_values(y, b), out)
+
+    return fwd
+
+
 def local_values(arr: Any, true_b: Optional[int] = None) -> np.ndarray:
     """Host-fetch the process-local axis-0 rows of a (possibly multi-host
     sharded) array, sliced back to this process's true batch count.

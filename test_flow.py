@@ -40,6 +40,10 @@ def main():
                         help="Use approximate neighbor search in "
                              "evaluation (faster; default exact "
                              "for metric parity)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel eval over N local devices "
+                             "(0 = all).  Exact: eval forwards are "
+                             "per-sample independent.")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -92,10 +96,15 @@ def main():
         with open(save_dir + ".json", "w") as f:
             json.dump({"view_sel": view_sels}, f)
 
-    fwd = jax.jit(
-        lambda v, a, b: flownet.apply(
-            v, a, b, a, b, args.test_model_iters, train=False
-        )[-1]
+    from ogc_tpu.parallel import mesh as pmesh
+
+    fwd = pmesh.dp_eval_fwd(
+        jax.jit(
+            lambda v, a, b: flownet.apply(
+                v, a, b, a, b, args.test_model_iters, train=False
+            )[-1]
+        ),
+        variables, args.dp,
     )
 
     eval_meter = AverageMeter()
@@ -105,7 +114,7 @@ def main():
         pc1, pc2 = pcs[:, 0], pcs[:, 1]
         gt_flow = flows[:, 0]
 
-        flow_pred = np.asarray(fwd(variables, jnp.asarray(pc1), jnp.asarray(pc2)))
+        flow_pred = fwd(jnp.asarray(pc1), jnp.asarray(pc2))
 
         epe, acc_s, acc_r, outlier = eval_flow(
             gt_flow, flow_pred, epe_norm_thresh=epe_norm_thresh

@@ -107,6 +107,10 @@ def main():
                         help="Use approximate neighbor search in "
                              "evaluation (faster; default exact "
                              "for metric parity)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel eval over N local devices "
+                             "(0 = all).  Exact: eval forwards are "
+                             "per-sample independent.")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -147,7 +151,11 @@ def main():
 
         vis_dir = "vis_seg"
         os.makedirs(vis_dir, exist_ok=True)
-        fwd_v = jax.jit(lambda p, x: segnet.apply(p, x, x))
+        from ogc_tpu.parallel import mesh as pmesh
+
+        fwd_v = pmesh.dp_eval_fwd(
+            jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
+        )
         loader = DataLoader(test_set, batch_size=n_frame, shuffle=False,
                             num_workers=2)
         for i, batch in enumerate(loader):
@@ -156,7 +164,7 @@ def main():
             pcs, segms, _, _ = batch
             pc = pcs[:, 0]
             segm = segms[:, 0]
-            mask = np.asarray(fwd_v(params, jnp.asarray(pc)))
+            mask = fwd_v(jnp.asarray(pc))
             pred = mask.argmax(2)
             for t in range(pc.shape[0]):
                 scatter_segm_png(pc[t], segm[t], osp.join(vis_dir, f"{i:04d}_{t}_gt.png"))
@@ -169,7 +177,11 @@ def main():
         os.makedirs(save_dir, exist_ok=True)
         print("Save segmentation predictions into", save_dir, "...")
 
-    fwd = jax.jit(lambda p, x: segnet.apply(p, x, x))
+    from ogc_tpu.parallel import mesh as pmesh
+
+    fwd = pmesh.dp_eval_fwd(
+        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
+    )
 
     eval_meter = AverageMeter()
     ap_meter = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
@@ -184,7 +196,7 @@ def main():
         if n_object <= args.curate_by_object:
             continue
 
-        mask = np.asarray(fwd(params, jnp.asarray(pc)))
+        mask = fwd(jnp.asarray(pc))
 
         iou, matched, conf, n_gt = accumulate_eval_results(
             segm, mask, ignore_npoint_thresh=ignore_npoint_thresh

@@ -72,7 +72,8 @@ def sapien_cfg(tmp_path_factory):
     return cfg_path, cfg
 
 
-def test_train_then_test_cli(sapien_cfg, cli_env):
+@pytest.fixture(scope="module")
+def trained_ckpt(sapien_cfg, cli_env):
     cfg_path, cfg = sapien_cfg
     r = subprocess.run(
         [sys.executable, "train_seg.py", cfg_path, "--round", "1"],
@@ -80,17 +81,40 @@ def test_train_then_test_cli(sapien_cfg, cli_env):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert osp.exists(cfg["save_path"] + "_R1/best.ckpt")
+    return cfg_path, cfg
 
-    r = subprocess.run(
+
+def _run_test_seg(cfg_path, cli_env, *extra):
+    return subprocess.run(
         [
             sys.executable, "test_seg.py", cfg_path,
             "--split", "test", "--round", "1", "--test_batch_size", "4",
+            *extra,
         ],
         cwd=REPO, env=cli_env, capture_output=True, text=True, timeout=900,
     )
+
+
+def test_train_then_test_cli(trained_ckpt, cli_env):
+    cfg_path, _ = trained_ckpt
+    r = _run_test_seg(cfg_path, cli_env)
     assert r.returncode == 0, r.stderr[-3000:]
     assert "AveragePrecision@50" in r.stdout
     assert "PanopticQuality@50" in r.stdout
+
+
+def test_seg_cli_dp_eval_matches_single_device(trained_ckpt, cli_env):
+    """--dp 0 (all 8 virtual devices, odd final batch -> padding path) must
+    reproduce the single-device metrics exactly: eval forwards are
+    per-sample independent and padded rows are sliced off before metrics."""
+    cfg_path, _ = trained_ckpt
+    r1 = _run_test_seg(cfg_path, cli_env, "--dp", "1")
+    r8 = _run_test_seg(cfg_path, cli_env, "--dp", "0")
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert r8.returncode == 0, r8.stderr[-3000:]
+    tail1 = r1.stdout[r1.stdout.index("Evaluation on"):]
+    tail8 = r8.stdout[r8.stdout.index("Evaluation on"):]
+    assert tail1 == tail8, f"dp metrics diverge:\n{tail1}\nvs\n{tail8}"
 
 
 def test_compute_dtype_hook(tmp_path):

@@ -81,3 +81,21 @@ def test_eval_epoch_loss_is_per_sample_average(trainer):
     # (the old count=1.0 seed halved it).
     val_loss, _, _ = trainer.eval_epoch([batch])
     assert val_loss == pytest.approx(float(loss), rel=1e-6)
+
+
+def test_dp_eval_fwd_pytree_uneven_batch():
+    """dp_eval_fwd pads an 11-row batch to 16 across 8 devices, runs the
+    jitted fn partitioned, and slices every output leaf back to 11 rows —
+    matching the single-device wrapper exactly."""
+    import jax.numpy as jnp
+
+    jitted = jax.jit(lambda p, x, y: {"a": x * p, "b": [x + y, x.sum(-1)]})
+    x = np.random.RandomState(0).randn(11, 3).astype(np.float32)
+    y = np.random.RandomState(1).randn(11, 3).astype(np.float32)
+    p = jnp.float32(2.0)
+    ref = pmesh.dp_eval_fwd(jitted, p, 1)(x, y)
+    got = pmesh.dp_eval_fwd(jitted, p, 0)(x, y)
+    assert got["a"].shape == (11, 3) and got["b"][1].shape == (11,)
+    for r, g in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(g, r, rtol=1e-6, atol=1e-6)
