@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--split", type=str, default="val")
     parser.add_argument("--round", type=int, default=0)
     parser.add_argument("--test_batch_size", type=int, default=64)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel eval over N local devices "
+                             "(0 = all).  Exact: eval forwards are "
+                             "per-sample independent.")
     parser.add_argument("--save", default=False, action="store_true")
     parser.add_argument("--approx_knn", default=False,
                         action="store_true",
@@ -94,7 +98,11 @@ def main():
         save_dir = osp.join(data_root, "segm_preds/OGC" + "_R%d" % args.round)
         os.makedirs(save_dir, exist_ok=True)
 
-    fwd = jax.jit(lambda p, x: segnet.apply(p, x, x))
+    from ogc_tpu.parallel import mesh as pmesh
+
+    fwd = pmesh.dp_eval_fwd(
+        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
+    )
 
     eval_meter = AverageMeter()
     ap_meter = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
@@ -107,7 +115,7 @@ def main():
         segm = segms[:, 0]
         ignore = ignores[:, 0]
 
-        mask = np.asarray(fwd(params, pc))
+        mask = fwd(pc)
 
         iou, matched, conf, n_gt = accumulate_eval_results_ignmask(
             segm, mask, ignore

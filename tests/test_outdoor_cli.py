@@ -160,3 +160,61 @@ def test_flow_kittisf_cli_xla_preproc(tmp_path):
     assert "Evaluation on kittisf-val" in out, out[-800:]
     save_dir = osp.join(base, "flow_preds/flowstep3d")
     assert os.listdir(save_dir), "no predflows written"
+
+
+@pytest.mark.slow
+def test_seg_waymo_cli_dp_eval(tmp_path):
+    """test_seg_waymo.py end-to-end on a synthetic downsampled-Waymo layout
+    (the CLI previously had only library-level coverage), with --dp 0
+    data-parallel eval over the virtual 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.utils.checkpoint import save_checkpoint
+
+    # The CLI reads the repo's real split list and the dataset skips
+    # unavailable sequences — provide only the first train sequence.
+    with open(osp.join(REPO, "data_prepare/waymo/splits/train.txt")) as f:
+        seq = osp.splitext(f.readline().strip())[0]
+
+    root = str(tmp_path / "waymo")
+    n_point, n_frames = 256, 3
+    d = osp.join(root, "data", seq)
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for t in range(n_frames):
+        pc = np.stack(
+            [20 * rng.rand(n_point) - 10, 2.0 * rng.rand(n_point),
+             25 * rng.rand(n_point) + 4], 1).astype(np.float32)
+        segm = rng.randint(0, 2, n_point).astype(np.int32)
+        segm[:100] = 1  # one sizable instance above ignore_npoint_thresh=50
+        np.save(osp.join(d, "pc_%04d.npy" % t), pc)
+        np.save(osp.join(d, "segm_%04d.npy" % t), segm)
+        np.save(osp.join(d, "semantic_segm_%04d.npy" % t), segm)
+
+    save_path = str(tmp_path / "ckpt" / "waymo_unsup")
+    os.makedirs(save_path, exist_ok=True)
+    seg_cfg = dict(n_slot=4, n_point=n_point, use_xyz=True,
+                   n_transformer_layer=1, transformer_embed_dim=64,
+                   transformer_input_pos_enc=False)
+    net = MaskFormer3D(arch="waymo", **seg_cfg)
+    dummy = jnp.zeros((1, n_point, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), dummy, dummy)
+    save_checkpoint(jax.device_get(params), False,
+                    filename=osp.join(save_path, "best"))
+
+    cfg = {
+        "dataset": "waymo",
+        "save_path": save_path,
+        "data": {"root": root, "decentralize": False},
+        "segnet": seg_cfg,
+    }
+    cfg_path = str(tmp_path / "waymo_unsup.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+
+    out = _run_cli("test_seg_waymo.py", cfg_path, "--split", "train",
+                   "--test_batch_size", "3", "--dp", "0")
+    assert "AveragePrecision@50" in out
+    assert "PanopticQuality@50" in out
