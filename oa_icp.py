@@ -37,6 +37,10 @@ def main():
     parser.add_argument("--round", type=int, default=1,
                         help="Which round of iterative optimization")
     parser.add_argument("--test_batch_size", type=int, default=48)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel refinement over N local "
+                             "devices (0 = all).  Exact: all per-batch "
+                             "computations are per-sample independent.")
     parser.add_argument("--save", default=False, action="store_true",
                         help="Save updated flow predictions")
     parser.add_argument("--saveflow_path", type=str, default=None)
@@ -125,7 +129,20 @@ def main():
             with open(save_dir + ".json", "w") as f:
                 json.dump({"view_sel": view_sels}, f)
 
-    fwd = jax.jit(lambda p, x: segnet.apply(p, x, x))
+    from ogc_tpu.parallel import mesh as pmesh
+
+    fwd = pmesh.dp_eval_fwd(
+        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
+    )
+    kabsch_fn = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, pc, fl, m: weighted_kabsch(pc, fl, m)),
+        None, args.dp,
+    )
+    oaicp_fn = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, a, b, f, m1, m2: object_aware_icp(
+            a, b, f, m1, m2, icp_iter=icp_iter)),
+        None, args.dp,
+    )
 
     meter, meter_kabsch, meter_oaicp = AverageMeter(), AverageMeter(), AverageMeter()
     loader = DataLoader(test_set, batch_size=batch_size, shuffle=False, num_workers=4)
@@ -138,13 +155,11 @@ def main():
         pc1, pc2 = jnp.asarray(pcs[:, 0]), jnp.asarray(pcs[:, 1])
         gt_flow, flow_pred = flows[:, 0], jnp.asarray(flow_preds[:, 0])
 
-        mask1 = fwd(params, pc1)
-        mask2 = fwd(params, pc2)
+        mask1 = fwd(pc1)
+        mask2 = fwd(pc2)
 
-        flow_kabsch = np.asarray(weighted_kabsch(pc1, flow_pred, mask1))
-        flow_oaicp = np.asarray(
-            object_aware_icp(pc1, pc2, flow_pred, mask1, mask2, icp_iter=icp_iter)
-        )
+        flow_kabsch = kabsch_fn(pc1, flow_pred, mask1)
+        flow_oaicp = oaicp_fn(pc1, pc2, flow_pred, mask1, mask2)
 
         for m, f in ((meter, np.asarray(flow_pred)), (meter_kabsch, flow_kabsch),
                      (meter_oaicp, flow_oaicp)):

@@ -102,8 +102,10 @@ def test_round_alternation(tmp_path):
     r = run("oa_icp.py", cfg_path, "--split", "train", "--round", "1",
             "--test_batch_size", "6", "--save")
     assert "Object-Aware ICP flow" in r.stdout
+    # val split additionally exercises --dp data-parallel refinement over
+    # the 8-device virtual mesh (per-sample independent -> exact).
     run("oa_icp.py", cfg_path, "--split", "val", "--round", "1",
-        "--test_batch_size", "6", "--save")
+        "--test_batch_size", "6", "--save", "--dp", "0")
     r1_dir = osp.join(root, "mbs-shapepart", "flow_preds", "flowstep3d_R1")
     assert osp.exists(r1_dir + ".json")
     assert len(os.listdir(r1_dir)) > 0
