@@ -13,6 +13,111 @@ import os.path as osp
 import numpy as np
 
 
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad (m, 3) to (n, 3) with duplicates of row 0.  Duplicates are at
+    min-distance 0 from the FPS seed (index 0), so FPS never selects them
+    over a true point, and their higher indices lose every tie — batched
+    FPS/KNN over padded clouds select exactly the per-scene indices."""
+    if len(a) >= n:
+        return a[:n]
+    return np.concatenate(
+        [a, np.broadcast_to(a[:1], (n - len(a), a.shape[1]))], 0
+    )
+
+
+def _batched_eval(args, test_set, fwd, variables, eval_meter, n_point,
+                  n_point_icp, max_icp_iters, decentralize, epe_norm_thresh,
+                  save_dir):
+    """Scene-batched eval: K scenes per device dispatch.  Variable-size
+    non-ground clouds bucket-pad to a shared length (multiples of 4096 to
+    bound recompiles); FPS, ICP, the network forward, and the 3-NN
+    upsample all run batched; padded rows are sliced off host-side before
+    flow composition and metrics.  Exact w.r.t. the per-scene path (see
+    _pad_rows); verified by tests/test_outdoor_cli.py."""
+    import jax.numpy as jnp
+
+    from ogc_tpu import ops
+    from ogc_tpu.metrics.flow import eval_flow
+    from ogc_tpu.utils.icp import icp_xla
+
+    K = args.scene_batch
+    sids = list(range(len(test_set)))
+    for g0 in range(0, len(sids), K):
+        group = sids[g0:g0 + K]
+        scenes = []
+        for sid in group:
+            pcs, _, flows, _ = test_set[sid]
+            pc1_org, pc2_org = pcs[0], pcs[1]
+            is_ground = np.logical_and(
+                pc1_org[:, 1] < -1.4, pc2_org[:, 1] < -1.4
+            )
+            not_ground = np.logical_not(is_ground)
+            pc1, pc2 = pc1_org[not_ground], pc2_org[not_ground]
+            center = (
+                np.concatenate((pc1, pc2), 0).mean(0)
+                if decentralize else np.zeros(3, pc1.dtype)
+            )
+            scenes.append(dict(
+                sid=sid, pc1_org=pc1_org, flow_org=flows[0],
+                not_ground=not_ground, pc1=pc1, pc2=pc2, center=center,
+            ))
+        while len(scenes) < K:  # pad the last group; extras discarded
+            scenes.append(scenes[-1])
+
+        nmax = max(max(len(s["pc1"]), len(s["pc2"])) for s in scenes)
+        bucket = max(-(-nmax // 4096) * 4096, n_point)
+        P1 = np.stack([_pad_rows(s["pc1"], bucket) for s in scenes])
+        P2 = np.stack([_pad_rows(s["pc2"], bucket) for s in scenes])
+        C = np.stack([s["center"] for s in scenes])[:, None, :]
+
+        # Batched ICP ego-motion on FPS subclouds (decentralized).
+        P1_icp = jnp.asarray((P1 - C).astype(np.float32))
+        P2_icp = jnp.asarray((P2 - C).astype(np.float32))
+        i1 = ops.furthest_point_sample(P1_icp, n_point_icp)
+        i2 = ops.furthest_point_sample(P2_icp, n_point_icp)
+        pc1_fps = jnp.take_along_axis(P1_icp, i1[..., None], 1, mode="clip")
+        pc2_fps = jnp.take_along_axis(P2_icp, i2[..., None], 1, mode="clip")
+        T = np.asarray(
+            icp_xla(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
+        )
+        rot, transl = T[:, :3, :3], T[:, :3, 3]
+
+        # Ego-compensated non-ground clouds, batched network + upsample.
+        P1e = (
+            np.einsum("kni,kji->knj", P1, rot) + transl[:, None, :]
+        ).astype(np.float32)
+        P1e_d = jnp.asarray(P1e)
+        P2_d = jnp.asarray(P2.astype(np.float32))
+        j1 = ops.furthest_point_sample(P1e_d, n_point)
+        j2 = ops.furthest_point_sample(P2_d, n_point)
+        pc1_net = jnp.take_along_axis(P1e_d, j1[..., None], 1, mode="clip")
+        pc2_net = jnp.take_along_axis(P2_d, j2[..., None], 1, mode="clip")
+        flow_fps = fwd(variables, pc1_net, pc2_net)
+        flow_up = np.asarray(ops.upsample_feat(P1e_d, pc1_net, flow_fps))
+
+        for t, sid in enumerate(group):
+            s = scenes[t]
+            n = len(s["pc1"])
+            flow_pred_org = (
+                s["pc1_org"] @ rot[t].T + transl[t] - s["pc1_org"]
+            ).astype(np.float32)
+            flow_pred_org[s["not_ground"]] += flow_up[t, :n]
+
+            epe, acc_s, acc_r, outlier = eval_flow(
+                s["flow_org"][None], flow_pred_org[None],
+                epe_norm_thresh=epe_norm_thresh,
+            )
+            eval_meter.append_loss(
+                {"EPE": epe, "AccS": acc_s, "AccR": acc_r,
+                 "Outlier": outlier}
+            )
+            if save_dir is not None:
+                test_set._save_predflow(
+                    flow_pred_org[None], save_root=save_dir, batch_size=1,
+                    n_frame=2, offset=sid,
+                )
+
+
 def main():
     from ogc_tpu.utils.platform import apply_platform_env
 
@@ -43,6 +148,13 @@ def main():
     parser.add_argument("--host_preproc", default=False, action="store_true",
                         help="Run ICP ego-motion with the host numpy oracle "
                              "instead of the jitted on-device loop")
+    parser.add_argument("--scene_batch", type=int, default=1,
+                        help="Process K scenes per device dispatch (FPS, "
+                             "ICP, network, upsample all batched).  Clouds "
+                             "pad with duplicate points, which FPS/KNN "
+                             "never select over true points; padded rows "
+                             "are sliced off host-side.  Equivalent to "
+                             "per-scene up to fp reassociation (~1e-7).")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -95,6 +207,20 @@ def main():
     )
 
     eval_meter = AverageMeter()
+
+    if args.scene_batch > 1:
+        assert not args.host_preproc, (
+            "--scene_batch requires the batched on-device ICP "
+            "(drop --host_preproc)"
+        )
+        _batched_eval(args, test_set, fwd, variables, eval_meter,
+                      n_point, n_point_icp, max_icp_iters, decentralize,
+                      epe_norm_thresh,
+                      save_dir if args.save else None)
+        print("Evaluation on kittisf-%s:" % args.split,
+              eval_meter.get_mean_loss_dict())
+        return
+
     for sid in range(len(test_set)):
         pcs, _, flows, _ = test_set[sid]
         pc1_org, pc2_org = pcs[0], pcs[1]

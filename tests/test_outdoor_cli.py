@@ -159,7 +159,33 @@ def test_flow_kittisf_cli_xla_preproc(tmp_path):
                    "--test_model_iters", "2", "--save", "--approx_knn")
     assert "Evaluation on kittisf-val" in out, out[-800:]
     save_dir = osp.join(base, "flow_preds/flowstep3d")
-    assert os.listdir(save_dir), "no predflows written"
+    saved = sorted(
+        osp.join(dp, f)
+        for dp, _, fs in os.walk(save_dir) for f in fs if f.endswith(".npy")
+    )
+    assert saved, "no predflows written"
+    flows1 = {f: np.load(f) for f in saved}
+
+    # --scene_batch 2 (batched FPS/ICP/network/upsample over padded
+    # clouds) must reproduce the per-scene metrics AND predflows exactly.
+    out_b = _run_cli("test_flow_kittisf.py", cfg_path, "--split", "val",
+                     "--test_model_iters", "2", "--save", "--approx_knn",
+                     "--scene_batch", "2")
+    def _metrics(stdout):
+        import ast
+
+        (line,) = [l for l in stdout.splitlines()
+                   if "Evaluation on kittisf" in l]
+        return ast.literal_eval(line[line.index("{"):])
+
+    m1, mb = _metrics(out), _metrics(out_b)
+    assert m1.keys() == mb.keys()
+    for k in m1:  # batched einsum reassociation -> tiny fp drift only
+        np.testing.assert_allclose(mb[k], m1[k], rtol=1e-5, atol=1e-6)
+    for f in saved:
+        np.testing.assert_allclose(
+            np.load(f), flows1[f], rtol=1e-5, atol=1e-5,
+        )
 
 
 @pytest.mark.slow
