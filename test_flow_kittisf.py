@@ -34,11 +34,33 @@ def _batched_eval(args, test_set, fwd, variables, eval_meter, n_point,
     upsample all run batched; padded rows are sliced off host-side before
     flow composition and metrics.  Exact w.r.t. the per-scene path (see
     _pad_rows); verified by tests/test_outdoor_cli.py."""
-    import jax.numpy as jnp
+    import jax
 
     from ogc_tpu import ops
     from ogc_tpu.metrics.flow import eval_flow
+    from ogc_tpu.parallel import mesh as pmesh
     from ogc_tpu.utils.icp import icp_xla
+
+    # Every batched device call goes through dp_eval_fwd: at --dp 1 a plain
+    # host wrapper, at --dp N the scene batch shards over the mesh.
+    dp = getattr(args, "dp", 1)
+    fps_icp = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, p: ops.furthest_point_sample(p, n_point_icp)),
+        None, dp,
+    )
+    fps_net = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, p: ops.furthest_point_sample(p, n_point)),
+        None, dp,
+    )
+    icp_fn = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, a, b: icp_xla(a, b, max_iterations=max_icp_iters)),
+        None, dp,
+    )
+    net_fn = pmesh.dp_eval_fwd(fwd, variables, dp)
+    up_fn = pmesh.dp_eval_fwd(
+        jax.jit(lambda _, pc, sub, f: ops.upsample_feat(pc, sub, f)),
+        None, dp,
+    )
 
     K = args.scene_batch
     sids = list(range(len(test_set)))
@@ -71,29 +93,26 @@ def _batched_eval(args, test_set, fwd, variables, eval_meter, n_point,
         C = np.stack([s["center"] for s in scenes])[:, None, :]
 
         # Batched ICP ego-motion on FPS subclouds (decentralized).
-        P1_icp = jnp.asarray((P1 - C).astype(np.float32))
-        P2_icp = jnp.asarray((P2 - C).astype(np.float32))
-        i1 = ops.furthest_point_sample(P1_icp, n_point_icp)
-        i2 = ops.furthest_point_sample(P2_icp, n_point_icp)
-        pc1_fps = jnp.take_along_axis(P1_icp, i1[..., None], 1, mode="clip")
-        pc2_fps = jnp.take_along_axis(P2_icp, i2[..., None], 1, mode="clip")
-        T = np.asarray(
-            icp_xla(pc1_fps, pc2_fps, max_iterations=max_icp_iters)
-        )
+        P1_icp = (P1 - C).astype(np.float32)
+        P2_icp = (P2 - C).astype(np.float32)
+        i1 = fps_icp(P1_icp)
+        i2 = fps_icp(P2_icp)
+        pc1_fps = np.take_along_axis(P1_icp, i1[..., None], 1)
+        pc2_fps = np.take_along_axis(P2_icp, i2[..., None], 1)
+        T = icp_fn(pc1_fps, pc2_fps)
         rot, transl = T[:, :3, :3], T[:, :3, 3]
 
         # Ego-compensated non-ground clouds, batched network + upsample.
         P1e = (
             np.einsum("kni,kji->knj", P1, rot) + transl[:, None, :]
         ).astype(np.float32)
-        P1e_d = jnp.asarray(P1e)
-        P2_d = jnp.asarray(P2.astype(np.float32))
-        j1 = ops.furthest_point_sample(P1e_d, n_point)
-        j2 = ops.furthest_point_sample(P2_d, n_point)
-        pc1_net = jnp.take_along_axis(P1e_d, j1[..., None], 1, mode="clip")
-        pc2_net = jnp.take_along_axis(P2_d, j2[..., None], 1, mode="clip")
-        flow_fps = fwd(variables, pc1_net, pc2_net)
-        flow_up = np.asarray(ops.upsample_feat(P1e_d, pc1_net, flow_fps))
+        P2f = P2.astype(np.float32)
+        j1 = fps_net(P1e)
+        j2 = fps_net(P2f)
+        pc1_net = np.take_along_axis(P1e, j1[..., None], 1)
+        pc2_net = np.take_along_axis(P2f, j2[..., None], 1)
+        flow_fps = net_fn(pc1_net, pc2_net)
+        flow_up = up_fn(P1e, pc1_net, flow_fps)
 
         for t, sid in enumerate(group):
             s = scenes[t]
@@ -148,6 +167,9 @@ def main():
     parser.add_argument("--host_preproc", default=False, action="store_true",
                         help="Run ICP ego-motion with the host numpy oracle "
                              "instead of the jitted on-device loop")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="With --scene_batch: shard the scene batch "
+                             "over N local devices (0 = all)")
     parser.add_argument("--scene_batch", type=int, default=1,
                         help="Process K scenes per device dispatch (FPS, "
                              "ICP, network, upsample all batched).  Clouds "

@@ -182,6 +182,14 @@ def test_flow_kittisf_cli_xla_preproc(tmp_path):
     assert m1.keys() == mb.keys()
     for k in m1:  # batched einsum reassociation -> tiny fp drift only
         np.testing.assert_allclose(mb[k], m1[k], rtol=1e-5, atol=1e-6)
+
+    # And sharded over the virtual mesh: --scene_batch 2 --dp 0.
+    out_dp = _run_cli("test_flow_kittisf.py", cfg_path, "--split", "val",
+                      "--test_model_iters", "2", "--approx_knn",
+                      "--scene_batch", "2", "--dp", "0")
+    mdp = _metrics(out_dp)
+    for k in m1:
+        np.testing.assert_allclose(mdp[k], m1[k], rtol=1e-5, atol=1e-6)
     for f in saved:
         np.testing.assert_allclose(
             np.load(f), flows1[f], rtol=1e-5, atol=1e-5,
