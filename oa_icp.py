@@ -131,18 +131,17 @@ def main():
 
     from ogc_tpu.parallel import mesh as pmesh
 
-    fwd = pmesh.dp_eval_fwd(
-        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
-    )
-    kabsch_fn = pmesh.dp_eval_fwd(
-        jax.jit(lambda _, pc, fl, m: weighted_kabsch(pc, fl, m)),
-        None, args.dp,
-    )
-    oaicp_fn = pmesh.dp_eval_fwd(
-        jax.jit(lambda _, a, b, f, m1, m2: object_aware_icp(
-            a, b, f, m1, m2, icp_iter=icp_iter)),
-        None, args.dp,
-    )
+    # ONE jitted chain (segnet on both clouds + weighted Kabsch + OA-ICP):
+    # the (B, N, K) masks never leave the device, at any --dp.
+    def _refine(p, a, b, f):
+        m1 = segnet.apply(p, a, a)
+        m2 = segnet.apply(p, b, b)
+        return (
+            weighted_kabsch(a, f, m1),
+            object_aware_icp(a, b, f, m1, m2, icp_iter=icp_iter),
+        )
+
+    refine = pmesh.dp_eval_fwd(jax.jit(_refine), params, args.dp)
 
     meter, meter_kabsch, meter_oaicp = AverageMeter(), AverageMeter(), AverageMeter()
     loader = DataLoader(test_set, batch_size=batch_size, shuffle=False, num_workers=4)
@@ -152,14 +151,10 @@ def main():
     for i, (batch1, batch2) in enumerate(zip(loader, loader_pf)):
         pcs, _, flows, _ = batch1
         _, _, flow_preds, _ = batch2
-        pc1, pc2 = jnp.asarray(pcs[:, 0]), jnp.asarray(pcs[:, 1])
-        gt_flow, flow_pred = flows[:, 0], jnp.asarray(flow_preds[:, 0])
+        pc1, pc2 = pcs[:, 0], pcs[:, 1]
+        gt_flow, flow_pred = flows[:, 0], flow_preds[:, 0]
 
-        mask1 = fwd(pc1)
-        mask2 = fwd(pc2)
-
-        flow_kabsch = kabsch_fn(pc1, flow_pred, mask1)
-        flow_oaicp = oaicp_fn(pc1, pc2, flow_pred, mask1, mask2)
+        flow_kabsch, flow_oaicp = refine(pc1, pc2, flow_pred)
 
         for m, f in ((meter, np.asarray(flow_pred)), (meter_kabsch, flow_kabsch),
                      (meter_oaicp, flow_oaicp)):

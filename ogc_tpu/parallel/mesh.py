@@ -139,8 +139,14 @@ def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data"):
     reference evaluates on one GPU (test_seg.py:101-160); multi-device
     eval is TPU-first serving surface on top of the same math.
     """
-    devices = jax.devices()
+    devices = jax.local_devices()
     n = len(devices) if n_devices == 0 else n_devices
+    if n > len(devices):
+        raise ValueError(
+            f"n_devices={n_devices} exceeds the {len(devices)} local "
+            "devices (multi-host serving shards each process's loader "
+            "separately; pass 0 for all local devices)"
+        )
     if n <= 1:
         def fwd1(*arrays):
             out = jitted(params, *arrays)

@@ -114,7 +114,7 @@ def main():
         pc1, pc2 = pcs[:, 0], pcs[:, 1]
         gt_flow = flows[:, 0]
 
-        flow_pred = fwd(jnp.asarray(pc1), jnp.asarray(pc2))
+        flow_pred = fwd(pc1, pc2)
 
         epe, acc_s, acc_r, outlier = eval_flow(
             gt_flow, flow_pred, epe_norm_thresh=epe_norm_thresh

@@ -144,6 +144,12 @@ def main():
         "Frames of one scene should be in the same batch!"
     )
 
+    from ogc_tpu.parallel import mesh as pmesh
+
+    fwd = pmesh.dp_eval_fwd(
+        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
+    )
+
     if args.visualize:
         # Headless qualitative mode: GT vs prediction scatter PNGs per scene
         # (the reference opens interactive Open3D windows, test_seg.py:125+).
@@ -151,11 +157,6 @@ def main():
 
         vis_dir = "vis_seg"
         os.makedirs(vis_dir, exist_ok=True)
-        from ogc_tpu.parallel import mesh as pmesh
-
-        fwd_v = pmesh.dp_eval_fwd(
-            jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
-        )
         loader = DataLoader(test_set, batch_size=n_frame, shuffle=False,
                             num_workers=2)
         for i, batch in enumerate(loader):
@@ -164,7 +165,7 @@ def main():
             pcs, segms, _, _ = batch
             pc = pcs[:, 0]
             segm = segms[:, 0]
-            mask = fwd_v(jnp.asarray(pc))
+            mask = fwd(pc)
             pred = mask.argmax(2)
             for t in range(pc.shape[0]):
                 scatter_segm_png(pc[t], segm[t], osp.join(vis_dir, f"{i:04d}_{t}_gt.png"))
@@ -176,12 +177,6 @@ def main():
         save_dir = osp.join(data_root, "segm_preds/OGC" + "_R%d" % args.round)
         os.makedirs(save_dir, exist_ok=True)
         print("Save segmentation predictions into", save_dir, "...")
-
-    from ogc_tpu.parallel import mesh as pmesh
-
-    fwd = pmesh.dp_eval_fwd(
-        jax.jit(lambda p, x: segnet.apply(p, x, x)), params, args.dp
-    )
 
     eval_meter = AverageMeter()
     ap_meter = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
@@ -196,7 +191,7 @@ def main():
         if n_object <= args.curate_by_object:
             continue
 
-        mask = fwd(jnp.asarray(pc))
+        mask = fwd(pc)
 
         iou, matched, conf, n_gt = accumulate_eval_results(
             segm, mask, ignore_npoint_thresh=ignore_npoint_thresh
