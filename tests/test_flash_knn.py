@@ -134,3 +134,86 @@ def test_ball_mode_crowded_is_block_stratified():
     np.testing.assert_array_equal(
         got, np.broadcast_to(np.arange(8) * 8, (1, 8, 8))
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pruned KNN (experimental, opt-in — see BENCHLOG "KNN candidate
+# pruning": extraction-bound analysis; kept for on-chip A/B)
+# ---------------------------------------------------------------------------
+
+
+def _scene(rng, n):
+    """Surface-like scene: ground plane + clusters (the regime where Morton
+    blocking is informative; uniform volumes are the kernel's worst case)."""
+    ground = np.c_[30 * rng.rand(n // 2, 2), 0.2 * rng.rand(n // 2, 1)]
+    ks = [
+        30 * rng.rand(3) * np.array([1, 1, 0.1])
+        + rng.randn(n // 14, 3) * np.array([1.5, 1.5, 0.8])
+        for _ in range(8)
+    ]
+    return np.vstack([ground] + ks)[:n].astype(np.float32)
+
+
+def test_pruned_recall_and_consistency():
+    from ogc_tpu.ops.pallas_knn import knn_pruned
+
+    rng = np.random.RandomState(0)
+    B, N, M, k = 2, 1024, 2048, 16
+    q = jnp.asarray(np.stack([_scene(rng, N) for _ in range(B)]))
+    p = jnp.asarray(np.stack([_scene(rng, M) for _ in range(B)]))
+    _, i_ref = ops.knn(k, q, p, exact=True)
+    d_new, i_new = knn_pruned(k, q, p, n_cand_blocks=10, blk=4,
+                              interpret=True)
+    assert _recall(i_ref, i_new, k) >= 0.95
+    # pair consistency: returned dists = true dists of returned ids for the
+    # ORIGINAL-order query (catches any unsort mismatch).
+    qn, pn = np.asarray(q), np.asarray(p)
+    for b in range(B):
+        for n in range(0, N, 97):
+            true = np.sqrt(
+                ((qn[b, n] - pn[b, np.asarray(i_new[b, n])]) ** 2).sum(-1)
+            )
+            np.testing.assert_allclose(np.asarray(d_new[b, n]), true,
+                                       rtol=2e-3, atol=1e-4)
+            assert (np.diff(np.asarray(d_new[b, n])) >= -1e-4).all()
+            assert len(set(np.asarray(i_new[b, n]).tolist())) == k
+
+
+def test_pruned_ragged_shapes():
+    """N, M away from tile multiples: pads never selected, ids in range."""
+    from ogc_tpu.ops.pallas_knn import knn_pruned
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(_scene(rng, 333)[None])
+    p = jnp.asarray(_scene(rng, 999)[None])
+    d, i = knn_pruned(8, q, p, n_cand_blocks=4, interpret=True)
+    assert int(jnp.max(i)) < 999
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_pruned_fallback_small_m():
+    """Bc >= #blocks falls back to knn_blockmin (identical results)."""
+    from ogc_tpu.ops.pallas_knn import knn_pruned
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.rand(1, 200, 3).astype(np.float32))
+    p = jnp.asarray(rng.rand(1, 256, 3).astype(np.float32))
+    d1, i1 = knn_pruned(8, q, p, interpret=True)
+    d2_, i2 = knn_blockmin(8, q, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_morton_codes_order_locality():
+    """Morton codes: equal points share codes; code order clusters space."""
+    from ogc_tpu.ops.pallas_knn import morton_codes
+
+    rng = np.random.RandomState(5)
+    pc = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32) * 20)
+    codes = np.asarray(morton_codes(pc))[0]
+    order = np.argsort(codes)
+    pts = np.asarray(pc)[0][order]
+    # consecutive sorted points are closer than random pairs on average
+    consec = np.linalg.norm(np.diff(pts, axis=0), axis=-1).mean()
+    rand = np.linalg.norm(pts[:-1] - pts[np.roll(np.arange(511), 17)],
+                          axis=-1).mean()
+    assert consec < 0.5 * rand
