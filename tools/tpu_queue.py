@@ -1,0 +1,89 @@
+"""Serial on-chip work queue: runs every TPU-gated validation pending for
+the round, one process at a time (the remote compile helper serializes —
+CLAUDE.md), logging each step and continuing past failures.
+
+    python tools/tpu_queue.py [--steps pool,flowbf16,bench,benchoff,knnab,vote]
+
+Writes per-step logs to /tmp/tpu_queue/<step>.log and a summary JSON line
+at the end.  Probe first: if a 60 s matmul probe times out, exits 3 (relay
+down — see memory note on outages).
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+import time
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+LOGDIR = "/tmp/tpu_queue"
+
+STEPS = {
+    "pool": (["python", "tools/tpu_e2e_smoke.py", "--mode", "pool_kernel"],
+             3600),
+    "flowbf16": (["python", "tools/tpu_e2e_smoke.py", "--mode", "flow",
+                  "--bf16"], 3600),
+    "bench": (["python", "bench.py"], 2400),
+    "benchoff": (["python", "bench.py"], 2400),  # OGC_PALLAS_POOL=off
+    "knnab": (["python", "tools/bench_knn_pruned.py"], 2400),
+    "vote": (["python", "tools/tpu_e2e_smoke.py", "--mode", "vote_scale"],
+             2400),
+}
+DEFAULT = "pool,flowbf16,bench,benchoff,knnab"
+
+
+def probe(timeout=120):
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "print(float((x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True, cwd=REPO)
+        return r.returncode == 0 and "64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", default=DEFAULT)
+    args = ap.parse_args()
+    os.makedirs(LOGDIR, exist_ok=True)
+
+    print("probing TPU relay ...", flush=True)
+    if not probe():
+        print("PROBE FAILED: relay down", flush=True)
+        sys.exit(3)
+    print("probe ok", flush=True)
+
+    summary = {}
+    for step in args.steps.split(","):
+        step = step.strip()
+        cmd, timeout = STEPS[step]
+        env = dict(os.environ)
+        if step == "benchoff":
+            env["OGC_PALLAS_POOL"] = "off"
+        log = osp.join(LOGDIR, f"{step}.log")
+        t0 = time.time()
+        print(f"[{step}] {' '.join(cmd)} -> {log}", flush=True)
+        with open(log, "w") as fh:
+            try:
+                r = subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT,
+                                   timeout=timeout, env=env, cwd=REPO)
+                ok = r.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+        dt = time.time() - t0
+        tail = open(log).read().strip().splitlines()[-3:]
+        summary[step] = {"ok": ok, "secs": round(dt, 1),
+                         "tail": " | ".join(tail)}
+        print(f"[{step}] {'OK' if ok else 'FAIL'} ({dt:.0f}s): "
+              f"{summary[step]['tail'][-200:]}", flush=True)
+
+    print("QUEUE SUMMARY " + json.dumps(summary), flush=True)
+    sys.exit(0 if all(v["ok"] for v in summary.values()) else 1)
+
+
+if __name__ == "__main__":
+    main()
