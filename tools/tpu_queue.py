@@ -28,10 +28,11 @@ STEPS = {
     "bench": (["python", "bench.py"], 2400),
     "benchoff": (["python", "bench.py"], 2400),  # OGC_PALLAS_POOL=off
     "knnab": (["python", "tools/bench_knn_pruned.py"], 2400),
+    "prefixprof": (["python", "tools/profile_prefix.py"], 2400),
     "vote": (["python", "tools/tpu_e2e_smoke.py", "--mode", "vote_scale"],
              2400),
 }
-DEFAULT = "pool,flowbf16,bench,benchoff,knnab"
+DEFAULT = "pool,flowbf16,bench,benchoff,knnab,prefixprof"
 
 
 def probe(timeout=120):
