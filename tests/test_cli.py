@@ -139,3 +139,30 @@ def test_compute_dtype_hook(tmp_path):
     cfg.write_text("foo: 2\n")
     load_config_into_args(argparse.Namespace(config=str(cfg)))
     assert compute_dtype() is None
+
+
+def _run_vote(cfg_path, cli_env, *extra):
+    return subprocess.run(
+        [
+            sys.executable, "vote.py", cfg_path,
+            "--split", "test", "--round", "1", "--test_batch_size", "8",
+            "--use_gt_flow", *extra,
+        ],
+        cwd=REPO, env=cli_env, capture_output=True, text=True, timeout=900,
+    )
+
+
+def test_vote_cli_and_dp_equality(trained_ckpt, cli_env):
+    """vote.py: one fused device call per batch (segnet + lax.map voting);
+    --dp 0 shards scenes over the 8-device mesh and must reproduce the
+    single-device metrics exactly (scene-independent voting, padded scenes
+    sliced off before metrics)."""
+    cfg_path, _ = trained_ckpt
+    r1 = _run_vote(cfg_path, cli_env, "--dp", "1")
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert "AveragePrecision@50" in r1.stdout
+    r8 = _run_vote(cfg_path, cli_env, "--dp", "0")
+    assert r8.returncode == 0, r8.stderr[-3000:]
+    tail1 = r1.stdout[r1.stdout.index("Evaluation on"):]
+    tail8 = r8.stdout[r8.stdout.index("Evaluation on"):]
+    assert tail1 == tail8, f"vote dp metrics diverge:\n{tail1}\nvs\n{tail8}"

@@ -44,6 +44,10 @@ def main():
                         help="Use approximate neighbor search in "
                              "evaluation (faster; default exact "
                              "for metric parity)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Data-parallel devices for eval serving "
+                             "(0 = all local devices); scenes shard "
+                             "over the mesh")
     args = parser.parse_args()
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
@@ -120,7 +124,27 @@ def main():
         )
         os.makedirs(save_dir, exist_ok=True)
 
-    fwd = jax.jit(lambda p, x: segnet.apply(p, x, x))
+    from ogc_tpu.parallel import mesh as pmesh
+
+    def _vote_batch(p, pc_s, flows_s):
+        """One device call per batch: segnet on every frame (S*T batched for
+        the MXU), then voting per scene via lax.map — sequential on-device
+        over the (possibly device-local, under --dp) scenes, so the
+        streaming warp's (N, tile) transient never multiplies by S.  The
+        reference interleaves a host loop per scene (vote.py:299-316)."""
+        S, T, N, _ = pc_s.shape
+        flat = pc_s.reshape(S * T, N, 3)
+        mask = segnet.apply(p, flat, flat).reshape(S, T, N, -1)
+
+        def one(args_):
+            pc1, m1, fl1 = args_
+            return mask_voting(
+                pc1, m1, fl1, time_window_size=args.time_window_size
+            )
+
+        return jax.lax.map(one, (pc_s, mask, flows_s))
+
+    vote_fwd = pmesh.dp_eval_fwd(jax.jit(_vote_batch), params, args.dp)
 
     eval_meter = AverageMeter()
     ap_meter = {"Pred_IoU": [], "Pred_Matched": [], "Confidence": [], "N_GT_Inst": []}
@@ -128,21 +152,17 @@ def main():
 
     for i, batch in enumerate(loader):
         pcs, segms, flows, _ = batch
-        pc = jnp.asarray(pcs[:, 0])
+        pc = np.asarray(pcs[:, 0])
         segm = segms[:, 0]
-        mask = fwd(params, pc)
 
-        voted = []
-        for sid in range(segm.shape[0] // n_frame):
-            sl = slice(n_frame * sid, n_frame * (sid + 1))
-            flows_s = jnp.asarray(flows[n_frame * sid : n_frame * (sid + 1) - 1])
-            voted.append(
-                mask_voting(
-                    pc[sl], mask[sl], flows_s,
-                    time_window_size=args.time_window_size,
-                )
-            )
-        mask_voted = np.concatenate([np.asarray(v) for v in voted], 0)
+        n_scene = segm.shape[0] // n_frame
+        pc_s = pc.reshape(n_scene, n_frame, *pc.shape[1:])
+        flows_s = np.asarray(flows).reshape(
+            n_scene, n_frame, *flows.shape[1:]
+        )[:, : n_frame - 1]
+        mask_voted = vote_fwd(pc_s, flows_s)
+        mask_voted = mask_voted.reshape(n_scene * n_frame,
+                                        *mask_voted.shape[2:])
 
         iou, matched, conf, n_gt = accumulate_eval_results(
             segm, mask_voted, ignore_npoint_thresh=ignore_npoint_thresh
