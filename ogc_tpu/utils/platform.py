@@ -39,3 +39,19 @@ def apply_platform_env() -> None:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5
             )
+    else:
+        # TPU path (the sitecustomize default backend): persist compiles
+        # across CLI invocations — fresh compiles through the remote
+        # compile helper are the dominant cost of every on-chip run
+        # (~20-40 min smokes), and bench.py already shares this cache.
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.jax_cache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:
+            pass  # older jax without the persistent-cache config
