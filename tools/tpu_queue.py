@@ -25,6 +25,7 @@ STEPS = {
              3600),
     "flowbf16": (["python", "tools/tpu_e2e_smoke.py", "--mode", "flow",
                   "--bf16"], 3600),
+    "seg": (["python", "tools/tpu_e2e_smoke.py"], 3600),
     "bench": (["python", "bench.py"], 2400),
     "benchoff": (["python", "bench.py"], 2400),  # OGC_PALLAS_POOL=off
     "knnab": (["python", "tools/bench_knn_pruned.py"], 2400),
@@ -32,7 +33,10 @@ STEPS = {
     "vote": (["python", "tools/tpu_e2e_smoke.py", "--mode", "vote_scale"],
              2400),
 }
-DEFAULT = "pool,flowbf16,bench,benchoff,knnab,prefixprof"
+# Fast, high-information steps first (kernel validation + the bench A/B),
+# then the measurement probes, then the long pipeline smokes — `seg` also
+# exercises vote.py's fused batch path on-chip.
+DEFAULT = "pool,bench,benchoff,knnab,prefixprof,seg,flowbf16,vote"
 
 
 def probe(timeout=120):
