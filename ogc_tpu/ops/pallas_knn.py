@@ -231,9 +231,12 @@ def _knn_pruned_kernel(k, blk, idx_bits, n_cand, cb, cand_ref, q_ref, p_ref,
             amin = jnp.broadcast_to(ids, d2.shape)
             for i in range(1, blk):
                 d2i, idsi = _block_d2_ids(cand_ref[0, 0, ch * blk + i])
-                take = d2i < vmin
-                amin = jnp.where(take, jnp.broadcast_to(idsi, d2.shape),
-                                 amin)
+                idsb = jnp.broadcast_to(idsi, d2.shape)
+                # Ties keep the LOWER ORIGINAL index (the documented
+                # contract) — candidate-block order is bound/centroid
+                # order, not index order.
+                take = (d2i < vmin) | ((d2i == vmin) & (idsb < amin))
+                amin = jnp.where(take, idsb, amin)
                 vmin = jnp.where(take, d2i, vmin)
             keys = (pltpu.bitcast(vmin, jnp.int32) & ~mask_low) | amin
         keys_scr[pl.ds(ch * cb, cb), :] = keys
@@ -344,22 +347,21 @@ def knn_pruned(
         # densities — ~M/3 but never fewer than 8k points' worth.
         n_cand_blocks = max(2, -(-max(8 * k, M // 3) // cb))
     n_cand_blocks = min(n_cand_blocks, nbp)
+    if blk is None:
+        # Cross-block thinning (see kernel comment) keeps the recall cost
+        # near the random-collision model ~ (k-1)*blk/(2*n_cand*cb).
+        blk = 2 if n_cand_blocks * cb >= 16 * k else 1
+    # The kernel consumes candidate blocks in chunks of `blk`: round the
+    # request UP (never down — callers calibrate recall against it),
+    # shrinking blk when the round-up would exceed the block count.
+    while blk > 1 and -(-n_cand_blocks // blk) * blk > nbp:
+        blk //= 2
+    n_cand_blocks = -(-n_cand_blocks // blk) * blk
     if n_cand_blocks >= nbp:
         return knn_blockmin(k, query, points, recall_target=recall_target,
                             interpret=interpret)
     # Real candidates even if the pad-tail block is selected.
     assert n_cand_blocks * cb - (cb - 1) >= k, (n_cand_blocks, cb, k)
-
-    if blk is None:
-        # Cross-block thinning (see kernel comment) keeps the recall cost
-        # near the random-collision model ~ (k-1)*blk/(2*n_cand*cb).
-        blk = 2 if n_cand_blocks * cb >= 16 * k else 1
-    if blk > 1:
-        n_cand_blocks = min(nbp // blk * blk,
-                            -(-n_cand_blocks // blk) * blk)
-        if n_cand_blocks < blk:
-            blk = 1
-            n_cand_blocks = max(2, n_cand_blocks)
 
     # Morton-sort both clouds.
     qperm = jnp.argsort(morton_codes(query), axis=-1)

@@ -39,11 +39,18 @@ def apply_platform_env() -> None:
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5
             )
-    else:
-        # TPU path (the sitecustomize default backend): persist compiles
-        # across CLI invocations — fresh compiles through the remote
-        # compile helper are the dominant cost of every on-chip run
+    elif any(
+        t in os.environ.get("JAX_PLATFORMS", "") for t in ("tpu", "axon")
+    ):
+        # TPU path (sitecustomize pins JAX_PLATFORMS=axon): persist
+        # compiles across CLI invocations — fresh compiles through the
+        # remote compile helper are the dominant cost of every on-chip run
         # (~20-40 min smokes), and bench.py already shares this cache.
+        # Gated on the env pin, NOT jax.default_backend(): querying the
+        # backend here would initialize it (hangs CLI startup when the
+        # relay is down), and an unset JAX_PLATFORMS means a plain CPU
+        # host, where this unkeyed cache dir would risk the cross-machine
+        # SIGILL documented on cpu_cache_dir.
         import jax
 
         try:

@@ -21,13 +21,11 @@ sys.path.insert(0, REPO)
 
 
 def main():
+    from ogc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honors OGC_PLATFORM, sets the compile cache
     import jax
     import jax.numpy as jnp
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    except Exception:
-        pass
 
     from bench import make_timed
     from ogc_tpu.ops.pallas_knn import knn_blockmin, knn_pruned

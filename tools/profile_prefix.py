@@ -38,16 +38,15 @@ def main():
                          "timings)")
     args = ap.parse_args()
 
-    import jax
+    import os
 
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
+        os.environ["OGC_PLATFORM"] = "cpu"
+    from ogc_tpu.utils.platform import apply_platform_env
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    except Exception:
-        pass
+    apply_platform_env()  # platform override + the right compile cache
+    import jax
+    import jax.numpy as jnp
 
     from bench import make_timed
     from ogc_tpu import ops

@@ -5,8 +5,9 @@ CLAUDE.md), logging each step and continuing past failures.
     python tools/tpu_queue.py [--steps pool,flowbf16,bench,benchoff,knnab,vote]
 
 Writes per-step logs to /tmp/tpu_queue/<step>.log and a summary JSON line
-at the end.  Probe first: if a 60 s matmul probe times out, exits 3 (relay
-down — see memory note on outages).
+at the end.  Probe first: if a 120 s matmul probe times out, exits 3
+(relay down).  Step names are validated before anything runs — a typo
+must not crash the queue after hours of completed on-chip work.
 """
 
 import argparse
@@ -54,6 +55,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", default=DEFAULT)
     args = ap.parse_args()
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+    unknown = [s for s in steps if s not in STEPS]
+    if unknown:
+        sys.exit(f"unknown steps {unknown}; available: {sorted(STEPS)}")
     os.makedirs(LOGDIR, exist_ok=True)
 
     print("probing TPU relay ...", flush=True)
@@ -63,8 +68,7 @@ def main():
     print("probe ok", flush=True)
 
     summary = {}
-    for step in args.steps.split(","):
-        step = step.strip()
+    for step in steps:
         cmd, timeout = STEPS[step]
         env = dict(os.environ)
         if step == "benchoff":

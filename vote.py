@@ -128,21 +128,23 @@ def main():
 
     def _vote_batch(p, pc_s, flows_s):
         """One device call per batch: segnet on every frame (S*T batched for
-        the MXU), then voting per scene via lax.map — sequential on-device
-        over the (possibly device-local, under --dp) scenes, so the
-        streaming warp's (N, tile) transient never multiplies by S.  The
-        reference interleaves a host loop per scene (vote.py:299-316)."""
+        the MXU), then voting vmapped over scenes.  vmap (not lax.map): a
+        scan over a dp-sharded axis makes GSPMD all-gather the operands and
+        replicate the whole loop on every device (verified in HLO), while
+        vmapped ops partition along the scene axis.  Memory: the streaming
+        warp's (N, tile) transient multiplies by the per-device scene
+        count — bounded by test_batch_size / n_frame / dp, ~1 GB at the
+        KITTI worst case.  The reference interleaves a host loop per scene
+        (vote.py:299-316)."""
         S, T, N, _ = pc_s.shape
         flat = pc_s.reshape(S * T, N, 3)
         mask = segnet.apply(p, flat, flat).reshape(S, T, N, -1)
 
-        def one(args_):
-            pc1, m1, fl1 = args_
-            return mask_voting(
+        return jax.vmap(
+            lambda pc1, m1, fl1: mask_voting(
                 pc1, m1, fl1, time_window_size=args.time_window_size
             )
-
-        return jax.lax.map(one, (pc_s, mask, flows_s))
+        )(pc_s, mask, flows_s)
 
     vote_fwd = pmesh.dp_eval_fwd(jax.jit(_vote_batch), params, args.dp)
 
