@@ -99,3 +99,33 @@ def test_dp_eval_fwd_pytree_uneven_batch():
     for r, g in zip(jax.tree_util.tree_leaves(ref),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(g, r, rtol=1e-6, atol=1e-6)
+
+
+def test_vmapped_voting_stays_sharded():
+    """Voting vmapped over scenes must partition along the mesh without
+    collectives: a lax.map/scan over a sharded axis makes GSPMD all-gather
+    the operands and replicate the loop on every device (the vote.py --dp
+    regression this guards against)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ogc_tpu.refine.vote import mask_voting
+
+    mesh = pmesh.make_mesh(jax.devices(), "data")
+    S, T, N, K = 8, 4, 64, 4
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.rand(S, T, N, 3).astype(np.float32))
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.rand(S, T, N, K).astype(np.float32)), -1
+    )
+    flows = jnp.asarray(rng.rand(S, T - 1, 2, N, 3).astype(np.float32) * 0.01)
+    sh = NamedSharding(mesh, P("data"))
+    pc, mask, flows = (jax.device_put(x, sh) for x in (pc, mask, flows))
+
+    f = jax.jit(jax.vmap(
+        lambda a, b, c: mask_voting(a, b, c, time_window_size=3)
+    ))
+    txt = f.lower(pc, mask, flows).compile().as_text()
+    assert txt.count("all-gather") == 0, "voting re-gathers the scene axis"
+    out = f(pc, mask, flows)
+    assert out.sharding.spec == P("data")
