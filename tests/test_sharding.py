@@ -129,3 +129,24 @@ def test_vmapped_voting_stays_sharded():
     assert txt.count("all-gather") == 0, "voting re-gathers the scene axis"
     out = f(pc, mask, flows)
     assert out.sharding.spec == P("data")
+
+
+def test_train_step_has_no_feature_table_all_gathers(trainer):
+    """The sharded train step must keep every neighbor gather shard-local:
+    the flat-take lowering (batch axis folded into rows) made GSPMD
+    all-gather entire feature tables to every device — 30 all-gathers per
+    step, HLO-audited — silently defeating DP scaling while staying
+    correct.  ops._flat_take auto-selects the batched lowering when the
+    process sees >1 device."""
+    batch = _batch(8, seed=3)
+    pcs, segms, flows, _ = batch
+    (pcs_d, flows_d), b = trainer._shard(pcs, flows)
+    import jax.numpy as jnp
+
+    txt = trainer._train_step.lower(
+        trainer.params, trainer.opt_state, pcs_d, flows_d,
+        jnp.int32(0), aug=False,
+    ).compile().as_text()
+    assert txt.count("all-gather") == 0, (
+        "feature gathers re-gather the batch axis"
+    )
