@@ -141,7 +141,7 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     # the kernel's argmax lowering ("unrealized_conversion_cast
     # vector<8x128xf32> -> i32", hit by the flow encoder's 128-point level
     # in the on-TPU training smoke); the XLA loop is fast at such sizes.
-    if jax.default_backend() != "cpu" and N % 128 == 0 and N >= 256:
+    if pallas_available() and N % 128 == 0 and N >= 256:
         from ogc_tpu.ops.pallas_kernels import fps_pallas_chunked
 
         return fps_pallas_chunked(xyz, npoint)
@@ -174,6 +174,18 @@ def _furthest_point_sample_xla(xyz: Array, npoint: int) -> Array:
     )
     _, idxs, _ = jax.lax.fori_loop(1, npoint, body, init)
     return idxs
+
+
+def pallas_available() -> bool:
+    """True when Mosaic kernels can lower: TPU backend AND a single-device
+    process.  jax's tpu_custom_call raises "Mosaic kernels cannot be
+    automatically partitioned. Please wrap the call in a shard_map." under
+    any multi-device SPMD lowering (jax/_src/tpu_custom_call.py), so on a
+    multi-chip mesh every kernel dispatch must fall back to the XLA paths,
+    which GSPMD shards.  Device count is fixed per process — the
+    trace-time read is stable.  (Future: shard_map the kernel dispatches
+    so multi-chip keeps the kernels.)"""
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +394,7 @@ def _knn_jit(
     M = points.shape[-2]
     if (
         not exact
-        and jax.default_backend() == "tpu"
+        and pallas_available()
         and M >= 1024
         and -(-M // 4) >= k  # enough block winners even at blk=4
     ):
@@ -504,7 +516,7 @@ def _ball_query_jit(
     N = xyz.shape[1]
     if (
         not exact
-        and jax.default_backend() == "tpu"
+        and pallas_available()
         and N >= 1024
         and -(-N // 4) >= nsample
     ):

@@ -58,9 +58,12 @@ def pool_neighbors(x: Array, mean: bool = False,
     """
     import os
 
+    from ogc_tpu.ops.core import pallas_available
+
     b, m, s, c = x.shape
     mode = os.environ.get("OGC_PALLAS_POOL", "on")
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = pallas_available()  # single-device TPU; multi-chip SPMD
+    # cannot lower Mosaic calls (see pallas_available)
     if (
         not differentiable
         and mode != "off"

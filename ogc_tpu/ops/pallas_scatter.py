@@ -94,8 +94,10 @@ def scatter_path_applicable(n_dest: int, n_rows: int, C: int) -> bool:
     "narrow" (C <= 16 only), "all" (the default gate)."""
     import os
 
+    from ogc_tpu.ops.core import pallas_available
+
     mode = os.environ.get("OGC_PALLAS_SCATTER", "all")
-    if mode == "off" or jax.default_backend() != "tpu":
+    if mode == "off" or not pallas_available():
         return False
     if mode == "narrow" and C > 16:
         return False

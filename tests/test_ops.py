@@ -239,3 +239,15 @@ def test_fps_nesting_identity(rng):
     lvl2 = lvl1[:, :64]  # still in selection order -> nests again
     got2 = np.asarray(ops.furthest_point_sample(lvl2, 32))
     np.testing.assert_array_equal(got2, np.broadcast_to(np.arange(32), (3, 32)))
+
+
+def test_pallas_gate_respects_device_count():
+    """Mosaic kernels cannot lower under multi-device SPMD (jax
+    tpu_custom_call raises 'wrap the call in a shard_map'): the shared
+    dispatch gate must refuse whenever the process sees >1 device, so
+    multi-chip meshes fall back to XLA paths that GSPMD shards."""
+    from ogc_tpu.ops.core import pallas_available
+
+    # The CPU suite runs with 8 virtual devices and a cpu backend — both
+    # conditions independently disqualify Pallas here.
+    assert not pallas_available()
