@@ -176,16 +176,33 @@ def _furthest_point_sample_xla(xyz: Array, npoint: int) -> Array:
     return idxs
 
 
+def in_manual_spmd() -> bool:
+    """Trace-time: are we inside a shard_map (manual SPMD) region?  There
+    every array is the per-device local shard, so single-device reasoning
+    (flat-take gathers, Mosaic kernels) applies again.  Detected via the
+    trace's named-axis environment, which shard_map binds and nested jits
+    inherit; plain GSPMD jit leaves it empty."""
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.nonempty_axis_env())
+    except Exception:  # private API moved — fail toward the safe path
+        return False
+
+
 def pallas_available() -> bool:
-    """True when Mosaic kernels can lower: TPU backend AND a single-device
-    process.  jax's tpu_custom_call raises "Mosaic kernels cannot be
-    automatically partitioned. Please wrap the call in a shard_map." under
-    any multi-device SPMD lowering (jax/_src/tpu_custom_call.py), so on a
-    multi-chip mesh every kernel dispatch must fall back to the XLA paths,
-    which GSPMD shards.  Device count is fixed per process — the
-    trace-time read is stable.  (Future: shard_map the kernel dispatches
-    so multi-chip keeps the kernels.)"""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    """True when Mosaic kernels can lower: TPU backend AND either a
+    single-device process or a fully-manual shard_map region.  jax's
+    tpu_custom_call raises "Mosaic kernels cannot be automatically
+    partitioned. Please wrap the call in a shard_map." under multi-device
+    GSPMD lowering (jax/_src/tpu_custom_call.py) but lowers fine when all
+    mesh axes are manual — which is how dp_eval_fwd's serving path keeps
+    the kernels on a mesh.  Outside shard_map, multi-chip falls back to
+    the XLA paths, which GSPMD shards.  Device count is fixed per process
+    — the trace-time read is stable."""
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or in_manual_spmd()
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +238,10 @@ def _flat_take(points: Array, flat_idx: Array) -> Array:
 
     mode = os.environ.get("OGC_GATHER_TAKE", "auto")
     if mode == "auto":
-        mode = "batched" if jax.device_count() > 1 else "flat"
+        # Inside shard_map the arrays are per-device local — flat-take's
+        # batch-folding is harmless there and keeps its 1.7x.
+        single = jax.device_count() == 1 or in_manual_spmd()
+        mode = "flat" if single else "batched"
     if mode == "batched":
         return jnp.take_along_axis(
             points, flat_idx.astype(jnp.int32)[..., None], axis=1,

@@ -122,22 +122,30 @@ def global_batch_size(mesh: Mesh, b_local: int) -> int:
     return int(all_b.sum())
 
 
-def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data"):
+def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data",
+                manual: bool = True):
     """Wrap a jitted per-batch eval forward for data-parallel serving.
 
     :param jitted: jitted fn(params, *batch_arrays) -> pytree of arrays
         with a leading batch axis.
     :param n_devices: devices to spread the batch over; 0 = all local
         devices, 1 = plain single-device wrapper (no mesh).
+    :param manual: partition via shard_map (manual SPMD) instead of GSPMD.
+        Inside the manual region every array is the per-device local shard,
+        so the Mosaic kernels (FPS/flash-KNN/ball/pool) lower on the mesh —
+        under plain GSPMD jax refuses to partition them and the dispatch
+        gates fall back to XLA paths (ops.core.pallas_available).  Eval
+        forwards need no cross-device collectives, making manual mode a
+        pure win; identical math either way.
     :return: fn(*host_arrays) -> same pytree as np arrays, sliced back to
         the true (unpadded) batch.
 
     Eval forwards are per-sample independent (norms read running stats /
-    per-sample statistics), so sharding the batch axis is exact: XLA
-    partitions the whole forward over the mesh and the padded duplicate
-    rows are sliced off host-side before any metric sees them.  The
-    reference evaluates on one GPU (test_seg.py:101-160); multi-device
-    eval is TPU-first serving surface on top of the same math.
+    per-sample statistics), so sharding the batch axis is exact: the
+    forward partitions over the mesh and the padded duplicate rows are
+    sliced off host-side before any metric sees them.  The reference
+    evaluates on one GPU (test_seg.py:101-160); multi-device eval is
+    TPU-first serving surface on top of the same math.
     """
     devices = jax.local_devices()
     n = len(devices) if n_devices == 0 else n_devices
@@ -155,6 +163,32 @@ def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data"):
         return fwd1
     mesh = make_mesh(devices[:n], axis)
     rep = replicate(mesh, params)
+
+    if manual:
+        def body(p, *arrays):
+            return jitted(p, *arrays)
+
+        # in_specs must match the call arity — build on first call.
+        state = {}
+
+        def fwd(*arrays):
+            sh, b = shard_padded(mesh, [np.asarray(a) for a in arrays], axis)
+            if "run" not in state:
+                # check_vma=False: the models' internal fori_loops seed
+                # carries from constants (unvarying), which the manual-axes
+                # type check rejects; eval forwards use no collectives, so
+                # the check buys nothing here.
+                state["run"] = jax.jit(jax.shard_map(
+                    body, mesh=mesh,
+                    in_specs=(jax.tree_util.tree_map(lambda _: P(), params),)
+                    + (P(axis),) * len(sh),
+                    out_specs=P(axis),
+                    check_vma=False,
+                ))
+            out = state["run"](rep, *sh)
+            return jax.tree_util.tree_map(lambda y: local_values(y, b), out)
+
+        return fwd
 
     def fwd(*arrays):
         sh, b = shard_padded(mesh, [np.asarray(a) for a in arrays], axis)

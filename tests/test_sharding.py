@@ -150,3 +150,36 @@ def test_train_step_has_no_feature_table_all_gathers(trainer):
     assert txt.count("all-gather") == 0, (
         "feature gathers re-gather the batch axis"
     )
+
+
+def test_dp_eval_fwd_manual_matches_gspmd():
+    """The shard_map serving path (manual=True, the default — it is what
+    lets Mosaic kernels lower on a mesh) must reproduce the GSPMD path
+    exactly on a forward that exercises the neighbor ops, including the
+    interpret-mode pool kernel inside the manual region."""
+    import os
+
+    import jax.numpy as jnp
+    from ogc_tpu import ops
+    from ogc_tpu.ops.pallas_pool import pool_neighbors
+
+    def fwd(p, pc):
+        _, idx = ops.knn(4, pc, pc, exact=True)
+        grouped = ops.group(pc, idx)              # (B, N, 4, 3)
+        return pool_neighbors(grouped, differentiable=False) * p
+
+    jitted = jax.jit(fwd)
+    pc = np.random.RandomState(0).rand(11, 64, 3).astype(np.float32)
+    p = jax.numpy.float32(2.0)
+    old = os.environ.get("OGC_PALLAS_POOL")
+    os.environ["OGC_PALLAS_POOL"] = "interpret"
+    try:
+        got = pmesh.dp_eval_fwd(jitted, p, 0, manual=True)(pc)
+    finally:
+        if old is None:
+            os.environ.pop("OGC_PALLAS_POOL", None)
+        else:
+            os.environ["OGC_PALLAS_POOL"] = old
+    ref = pmesh.dp_eval_fwd(jitted, p, 0, manual=False)(pc)
+    assert got.shape == (11, 64, 3)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
