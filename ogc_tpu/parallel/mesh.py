@@ -16,6 +16,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# The canonical batch axis name: every mesh in the framework is 1-D over
+# it, and manual-SPMD (shard_map) regions bind it for pmeans.
+DATA_AXIS = "data"
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data") -> Mesh:
     """1-D data mesh.  The default device list is jax.devices() — under
     multi-host initialization (jax.distributed.initialize) that is already

@@ -68,10 +68,20 @@ class SegTrainer:
         mesh=None,
         writer=None,
         frame_stride: int = 1,
+        manual_spmd=None,
     ):
         """:param frame_stride: subsample the item's frame axis (Waymo items
         duplicate the single frame; the reference takes pcs[:, ::2],
-        train_seg_waymo.py:58)."""
+        train_seg_waymo.py:58).
+        :param manual_spmd: partition the train/eval steps via shard_map
+        (manual SPMD) instead of GSPMD.  None (default) = automatic: manual
+        whenever the mesh has more than one device — inside the manual
+        region every array is the per-device local shard, so the Mosaic
+        kernels lower on the mesh (GSPMD cannot auto-partition them and
+        the dispatch gates would fall back to XLA paths).  Math identical:
+        per-device local loss means + a pmean over gradients equal the
+        global-batch mean (equal padded local sizes); the segnet has no
+        cross-sample statistics (GroupNorm is per-sample)."""
         self.model = model
         self.loss_cfg = loss_cfg
         self.frame_stride = frame_stride
@@ -89,8 +99,16 @@ class SegTrainer:
         self.writer = writer
         self.cur_epoch = 0
 
-        self._train_step = jax.jit(self._train_step_impl, static_argnames=("aug",))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if manual_spmd is None:
+            manual_spmd = int(self.mesh.devices.size) > 1
+        if manual_spmd:
+            self._train_step = self._manual_train_step()
+            self._eval_step = self._manual_eval_step()
+        else:
+            self._train_step = jax.jit(
+                self._train_step_impl, static_argnames=("aug",)
+            )
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
     # Checkpointing: full train state (the reference saves model weights
@@ -156,6 +174,71 @@ class SegTrainer:
     def _eval_step_impl(self, params, pcs, flows):
         loss, (ld, masks) = self._loss(params, pcs, flows, 0, False, False)
         return loss, ld, masks
+
+    # ------------------------------------------------------------------
+    # Manual-SPMD (shard_map) step variants: identical math to the GSPMD
+    # impls above — the batch shards over pmesh.DATA_AXIS, each device
+    # computes its local-batch loss, gradients/scalars pmean across the
+    # axis (equal padded local sizes => exactly the global-batch mean).
+    # What manual mode buys: Mosaic kernels lower inside shard_map while
+    # GSPMD refuses to auto-partition them (ops.core.pallas_available).
+    # check_vma=False: model fori_loops seed carries from constants, which
+    # the varying-axes type check rejects.
+    # ------------------------------------------------------------------
+
+    def _manual_train_step(self):
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        axis = pmesh.DATA_AXIS
+        P0, Pd = P(), P(axis)
+
+        def step(aug, params, opt_state, pcs, flows, it_samples):
+            (_, (ld, masks)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(params, pcs, flows, it_samples, True, aug, True)
+            grads = jax.lax.pmean(grads, axis)
+            ld = jax.lax.pmean(ld, axis)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, ld, masks
+
+        cache = {}
+
+        def run(params, opt_state, pcs, flows, it_samples, aug):
+            if aug not in cache:
+                cache[aug] = jax.jit(jax.shard_map(
+                    functools.partial(step, aug),
+                    mesh=self.mesh,
+                    in_specs=(P0, P0, Pd, Pd, P0),
+                    out_specs=(P0, P0, P0, Pd),
+                    check_vma=False,
+                ))
+            return cache[aug](params, opt_state, pcs, flows, it_samples)
+
+        return run
+
+    def _manual_eval_step(self):
+        from jax.sharding import PartitionSpec as P
+
+        axis = pmesh.DATA_AXIS
+        P0, Pd = P(), P(axis)
+
+        def step(params, pcs, flows):
+            loss, (ld, masks) = self._loss(
+                params, pcs, flows, 0, False, False
+            )
+            return (
+                jax.lax.pmean(loss, axis), jax.lax.pmean(ld, axis), masks
+            )
+
+        return jax.jit(jax.shard_map(
+            step, mesh=self.mesh, in_specs=(P0, Pd, Pd),
+            out_specs=(P0, P0, Pd), check_vma=False,
+        ))
 
     # ------------------------------------------------------------------
     # Host loop

@@ -131,20 +131,23 @@ def test_vmapped_voting_stays_sharded():
     assert out.sharding.spec == P("data")
 
 
-def test_train_step_has_no_feature_table_all_gathers(trainer):
-    """The sharded train step must keep every neighbor gather shard-local:
-    the flat-take lowering (batch axis folded into rows) made GSPMD
-    all-gather entire feature tables to every device — 30 all-gathers per
-    step, HLO-audited — silently defeating DP scaling while staying
-    correct.  ops._flat_take auto-selects the batched lowering when the
-    process sees >1 device."""
+def test_train_step_has_no_feature_table_all_gathers(tmp_path):
+    """The GSPMD-sharded train step must keep every neighbor gather
+    shard-local: the flat-take lowering (batch axis folded into rows) made
+    GSPMD all-gather entire feature tables to every device — 30
+    all-gathers per step, HLO-audited — silently defeating DP scaling
+    while staying correct.  ops._flat_take auto-selects the batched
+    lowering when the process sees >1 device.  (manual_spmd=False: the
+    default trainer is shard_map'd, whose only collectives are pmeans by
+    construction.)"""
+    tr = _make_trainer(tmp_path / "gspmd", manual=False)
     batch = _batch(8, seed=3)
     pcs, segms, flows, _ = batch
-    (pcs_d, flows_d), b = trainer._shard(pcs, flows)
+    (pcs_d, flows_d), b = tr._shard(pcs, flows)
     import jax.numpy as jnp
 
-    txt = trainer._train_step.lower(
-        trainer.params, trainer.opt_state, pcs_d, flows_d,
+    txt = tr._train_step.lower(
+        tr.params, tr.opt_state, pcs_d, flows_d,
         jnp.int32(0), aug=False,
     ).compile().as_text()
     assert txt.count("all-gather") == 0, (
@@ -183,3 +186,54 @@ def test_dp_eval_fwd_manual_matches_gspmd():
     ref = pmesh.dp_eval_fwd(jitted, p, 0, manual=False)(pc)
     assert got.shape == (11, 64, 3)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def _make_trainer(tmp, manual):
+    model = MaskFormer3D(
+        n_slot=N_SLOT, n_point=N_POINT, arch="sapien",
+        n_transformer_layer=1, transformer_embed_dim=64,
+    )
+    pc = jax.numpy.zeros((1, N_POINT, 3))
+    params = model.init(jax.random.PRNGKey(0), pc, pc)
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    return SegTrainer(
+        model=model, params=params,
+        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0)),
+        optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 8),
+        aug_transform_epoch=9999, ignore_npoint_thresh=0,
+        exp_base=str(tmp), mesh=mesh, manual_spmd=manual,
+    )
+
+
+def test_manual_spmd_train_step_matches_gspmd(tmp_path):
+    """shard_map (manual) training — what keeps the Mosaic kernels on a
+    mesh — must reproduce the GSPMD step: local-batch loss + gradient
+    pmean over equal padded shards equals the global-batch mean."""
+    tr_g = _make_trainer(tmp_path / "g", manual=False)
+    tr_m = _make_trainer(tmp_path / "m", manual=True)
+    batch = _batch(8, seed=7)
+    for it in range(2):
+        ld_g, _, _ = tr_g.train_it(it, batch)
+        ld_m, _, _ = tr_m.train_it(it, batch)
+        for k in ld_g:
+            np.testing.assert_allclose(ld_m[k], ld_g[k], rtol=2e-4,
+                                       atol=1e-6, err_msg=k)
+    for pg, pm in zip(jax.tree_util.tree_leaves(tr_g.params),
+                      jax.tree_util.tree_leaves(tr_m.params)):
+        # atol at float-reassociation scale: Adam divides two pmean'd
+        # moments whose summation order differs between the lowerings,
+        # amplifying near-zero moment wobble (worst observed: one element
+        # of 114k at 1e-4 after two steps).  Real semantic divergence
+        # would shift every element, not isolated ones.
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(pg),
+                                   rtol=2e-4, atol=3e-4)
+    # Eval parity too (pmean'd scalars, sharded masks).
+    pcs, segms, flows, _ = batch
+    (pcs_d, flows_d), b = tr_g._shard(pcs, flows)
+    lg, _, mg = tr_g._eval_step(tr_g.params, pcs_d, flows_d)
+    lm, _, mm = tr_m._eval_step(tr_m.params, pcs_d, flows_d)
+    np.testing.assert_allclose(float(lm), float(lg), rtol=2e-4)
+    np.testing.assert_allclose(
+        pmesh.local_values(mm, b), pmesh.local_values(mg, b),
+        rtol=2e-3, atol=2e-5,
+    )
