@@ -81,11 +81,28 @@ class SchedulableBatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=axes)
             var = jnp.var(xf, axis=axes)
+            n = x.size // features
             if not self.is_initializing():
+                from ogc_tpu.ops.core import manual_data_axis
+
+                ax = manual_data_axis()
+                if ax is not None:
+                    # Manual-SPMD region (shard_map): x is the per-device
+                    # local batch — compute global-batch statistics via
+                    # two stable passes (pmean the mean, then pmean the
+                    # second moment CENTERED on the global mean; the
+                    # E[x^2]-E[x]^2 form cancels catastrophically for
+                    # low-variance channels).  Exactly GSPMD's jnp.var
+                    # over the global batch (equal-sized local shards).
+                    name, n_dev = ax
+                    mean = jax.lax.pmean(mean, name)
+                    var = jax.lax.pmean(
+                        jnp.mean((xf - mean) ** 2, axis=axes), name
+                    )
+                    n = n * n_dev
                 m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
                 # torch updates running_var with the unbiased batch variance.
-                n = x.size // features
                 unbiased = var * n / max(n - 1, 1)
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
         # Normalize in the input dtype: with bf16 compute this keeps the

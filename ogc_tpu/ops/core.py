@@ -190,6 +190,21 @@ def in_manual_spmd() -> bool:
         return False
 
 
+def manual_data_axis():
+    """(axis_name, size) of the data-parallel mesh axis when tracing inside
+    a shard_map that binds it, else None.  Lets batch-statistics layers
+    (SchedulableBatchNorm) pmean their moments so manual-SPMD training
+    matches GSPMD's global-batch statistics exactly.  The framework's
+    meshes are all 1-D over parallel.mesh.DATA_AXIS ("data")."""
+    try:
+        from jax._src import core as _core
+
+        sizes = dict(_core.get_axis_env().axis_sizes)
+    except Exception:
+        return None
+    return ("data", int(sizes["data"])) if "data" in sizes else None
+
+
 def pallas_available() -> bool:
     """True when Mosaic kernels can lower: TPU backend AND either a
     single-device process or a fully-manual shard_map region.  jax's

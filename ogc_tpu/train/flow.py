@@ -48,7 +48,14 @@ class FlowTrainer:
         bn_schedule=None,
         mesh=None,
         writer=None,
+        manual_spmd=None,
     ):
+        """:param manual_spmd: partition the train/eval steps via shard_map
+        instead of GSPMD — None (default) = automatic: manual whenever the
+        mesh has >1 device, keeping the Mosaic kernels on multi-chip (see
+        SegTrainer).  BatchNorm batch statistics pmean across the mesh
+        inside the manual region (SchedulableBatchNorm), matching GSPMD's
+        global-batch statistics exactly."""
         self.model = model
         self.model_iters = model_iters
         self.loss_cfg = loss_cfg
@@ -67,8 +74,46 @@ class FlowTrainer:
             self.mesh, optimizer.init(variables["params"])
         )
 
-        self._train_step = jax.jit(self._train_step_impl)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if manual_spmd is None:
+            manual_spmd = int(self.mesh.devices.size) > 1
+        if manual_spmd:
+            from jax.sharding import PartitionSpec as P
+
+            axis = pmesh.DATA_AXIS
+            P0, Pd = P(), P(axis)
+
+            def train_step(params, batch_stats, opt_state, pc1, pc2,
+                           gt_flow, bnm):
+                params, new_stats, opt_state, ld = self._train_step_impl(
+                    params, batch_stats, opt_state, pc1, pc2, gt_flow, bnm,
+                    pmean_grads=True,
+                )
+                # Stats already pmean'd in-layer; grads pmean'd in impl.
+                ld = jax.lax.pmean(ld, axis)
+                return params, new_stats, opt_state, ld
+
+            self._train_step = jax.jit(jax.shard_map(
+                train_step, mesh=self.mesh,
+                in_specs=(P0, P0, P0, Pd, Pd, Pd, P0),
+                out_specs=(P0, P0, P0, P0),
+                check_vma=False,
+            ))
+
+            def eval_step(params, batch_stats, pc1, pc2, gt_flow):
+                loss, ld = self._eval_step_impl(
+                    params, batch_stats, pc1, pc2, gt_flow
+                )
+                return (
+                    jax.lax.pmean(loss, axis), jax.lax.pmean(ld, axis)
+                )
+
+            self._eval_step = jax.jit(jax.shard_map(
+                eval_step, mesh=self.mesh, in_specs=(P0, P0, Pd, Pd, Pd),
+                out_specs=(P0, P0), check_vma=False,
+            ))
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     @property
     def variables(self):
@@ -102,7 +147,7 @@ class FlowTrainer:
     # ------------------------------------------------------------------
 
     def _train_step_impl(self, params, batch_stats, opt_state, pc1, pc2,
-                         gt_flow, bnm):
+                         gt_flow, bnm, pmean_grads=False):
         def loss_fn(p):
             flow_preds, new_vars = self.model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -115,6 +160,8 @@ class FlowTrainer:
         (loss, (ld, flow_preds, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        if pmean_grads:  # manual-SPMD region: local grads -> global mean
+            grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # EPE monitoring per iteration (reference epe_metric,

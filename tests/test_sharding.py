@@ -237,3 +237,53 @@ def test_manual_spmd_train_step_matches_gspmd(tmp_path):
         pmesh.local_values(mm, b), pmesh.local_values(mg, b),
         rtol=2e-3, atol=2e-5,
     )
+
+
+def test_manual_spmd_flow_step_matches_gspmd(tmp_path):
+    """Flow trainer manual-SPMD parity: BatchNorm batch statistics pmean
+    across the mesh inside the manual region, so running stats, loss
+    scalars, and parameters all match the GSPMD step's global-batch
+    semantics."""
+    import optax
+
+    from ogc_tpu.losses.flow_unsup import FlowLossConfig
+    from ogc_tpu.models.flownet import FlowStep3D
+    from ogc_tpu.train.flow import FlowTrainer
+
+    def make(tmp, manual):
+        model = FlowStep3D(npoint=64, arch="sapien", loc_flow_nn=4,
+                           loc_flow_rad=0.2)
+        pc0 = jax.numpy.zeros((1, 64, 3))
+        variables = jax.jit(lambda k, a: model.init(k, a, a, a, a, 2))(
+            jax.random.PRNGKey(0), pc0
+        )
+        return FlowTrainer(
+            model=model, variables=variables, model_iters=2,
+            loss_cfg=FlowLossConfig(iters_w=(0.5, 1.0)),
+            # SGD, not Adam: Adam normalizes by |grad|, turning float
+            # reassociation noise on near-zero gradients into +-lr update
+            # flips; SGD keeps updates linear in the gradients, so this
+            # compares the actual gradient math.
+            optimizer=optax.sgd(1e-3), exp_base=str(tmp),
+            mesh=pmesh.make_mesh(jax.devices()[:8]), manual_spmd=manual,
+        )
+
+    tr_g = make(tmp_path / "g", False)
+    tr_m = make(tmp_path / "m", True)
+    rng = np.random.RandomState(0)
+    pcs = rng.rand(8, 2, 64, 3).astype(np.float32)
+    flows = (0.02 * rng.randn(8, 2, 64, 3)).astype(np.float32)
+    batch = (pcs, None, flows, None)
+    ld_g = tr_g.train_it(0, batch)
+    ld_m = tr_m.train_it(0, batch)
+    for k in ld_g:
+        np.testing.assert_allclose(ld_m[k], ld_g[k], rtol=5e-4, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_g.batch_stats),
+                    jax.tree_util.tree_leaves(tr_m.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_g.params),
+                    jax.tree_util.tree_leaves(tr_m.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
