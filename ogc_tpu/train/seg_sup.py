@@ -24,7 +24,13 @@ from ogc_tpu.utils.meters import AverageMeter
 
 class SupSegTrainer:
     def __init__(self, model, params, loss_cfg: SupLossConfig, optimizer,
-                 ignore_npoint_thresh, exp_base, mesh=None, writer=None):
+                 ignore_npoint_thresh, exp_base, mesh=None, writer=None,
+                 manual_spmd=None):
+        """:param manual_spmd: shard_map the steps (None = auto: manual on
+        >1-device meshes — keeps the Mosaic kernels on multi-chip; the
+        segnet has no cross-sample statistics, so pmean'ing gradients and
+        loss scalars over the equal padded shards is exactly the GSPMD
+        global-batch math; see SegTrainer)."""
         self.model = model
         self.loss_cfg = loss_cfg
         self.optimizer = optimizer
@@ -39,8 +45,44 @@ class SupSegTrainer:
         self.params = pmesh.replicate(self.mesh, params)
         self.opt_state = pmesh.replicate(self.mesh, optimizer.init(params))
 
-        self._train_step = jax.jit(self._train_step_impl)
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if manual_spmd is None:
+            manual_spmd = int(self.mesh.devices.size) > 1
+        if manual_spmd:
+            from jax.sharding import PartitionSpec as P
+
+            axis = pmesh.DATA_AXIS
+            P0, Pd = P(), P(axis)
+
+            def train_step(params, opt_state, pc, gt_mask, valid):
+                (_, (ld, mask)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, pc, gt_mask, valid, True)
+                grads = jax.lax.pmean(grads, axis)
+                ld = jax.lax.pmean(ld, axis)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, ld, mask
+
+            self._train_step = jax.jit(jax.shard_map(
+                train_step, mesh=self.mesh,
+                in_specs=(P0, P0, Pd, Pd, Pd),
+                out_specs=(P0, P0, P0, Pd), check_vma=False,
+            ))
+
+            def eval_step(params, pc, gt_mask, valid):
+                loss, (ld, mask) = self._loss(params, pc, gt_mask, valid)
+                return (jax.lax.pmean(loss, axis),
+                        jax.lax.pmean(ld, axis), mask)
+
+            self._eval_step = jax.jit(jax.shard_map(
+                eval_step, mesh=self.mesh, in_specs=(P0, Pd, Pd, Pd),
+                out_specs=(P0, P0, Pd), check_vma=False,
+            ))
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     def _full_state(self, epoch: int):
         return {

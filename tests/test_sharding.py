@@ -287,3 +287,45 @@ def test_manual_spmd_flow_step_matches_gspmd(tmp_path):
                     jax.tree_util.tree_leaves(tr_m.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_manual_spmd_sup_trainer_matches_gspmd(tmp_path):
+    """SupSegTrainer (previously untested) manual-SPMD parity with GSPMD:
+    loss scalars and one-SGD-step parameters."""
+    import optax
+
+    from ogc_tpu.losses.seg_sup import SupLossConfig
+    from ogc_tpu.train.seg_sup import SupSegTrainer
+
+    def make(tmp, manual):
+        model = MaskFormer3D(
+            n_slot=N_SLOT, n_point=N_POINT, arch="sapien",
+            n_transformer_layer=1, transformer_embed_dim=64,
+        )
+        pc = jax.numpy.zeros((1, N_POINT, 3))
+        params = model.init(jax.random.PRNGKey(0), pc, pc)
+        return SupSegTrainer(
+            model=model, params=params, loss_cfg=SupLossConfig(),
+            optimizer=optax.sgd(1e-3), ignore_npoint_thresh=0,
+            exp_base=str(tmp), mesh=pmesh.make_mesh(jax.devices()[:8]),
+            manual_spmd=manual,
+        )
+
+    tr_g = make(tmp_path / "g", False)
+    tr_m = make(tmp_path / "m", True)
+    rng = np.random.RandomState(2)
+    pcs = rng.rand(8, T, N_POINT, 3).astype(np.float32)
+    segms = rng.randint(0, N_SLOT, size=(8, T, N_POINT)).astype(np.int32)
+    # one-hot GT masks with per-point valid masks, as the CLI feeds them
+    gt = np.eye(N_SLOT, dtype=np.float32)[segms]
+    valids = np.ones((8, T, N_POINT), np.float32)
+    batch = (pcs, gt, None, valids)
+    ld_g, _, _ = tr_g.train_it(0, batch)
+    ld_m, _, _ = tr_m.train_it(0, batch)
+    for k in ld_g:
+        np.testing.assert_allclose(ld_m[k], ld_g[k], rtol=5e-4, atol=1e-6,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_g.params),
+                    jax.tree_util.tree_leaves(tr_m.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
