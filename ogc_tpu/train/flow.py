@@ -214,11 +214,15 @@ class FlowTrainer:
             meter.append_loss({k: float(v) for k, v in ld.items()})
         return total_loss / max(count, 1.0), meter.get_mean_loss_dict()
 
-    def train(self, n_epochs, train_loader, val_loader=None, progress=True):
-        it = 0
+    def train(self, n_epochs, train_loader, val_loader=None, progress=True,
+              start_epoch: int = 1):
+        # Resume semantics mirror SegTrainer.train: the it counter (drives
+        # the BN-momentum schedule) continues from the restored epoch.
+        it = (start_epoch - 1) * len(train_loader)
         best_loss = 1e10
-        self.save(True, 0)
-        for epoch in range(1, n_epochs + 1):
+        if start_epoch == 1:
+            self.save(True, 0)
+        for epoch in range(start_epoch, n_epochs + 1):
             train_meter = AverageMeter()
             running = RunningAverageMeter(alpha=0.3)
             for batch in train_loader:

@@ -158,11 +158,15 @@ class SupSegTrainer:
             ap["N_GT_Inst"].append(n_gt)
         return total_loss / max(count, 1.0), meter.get_mean_loss_dict(), ap
 
-    def train(self, n_epochs, train_loader, test_loader=None, progress=True):
-        it = 0
+    def train(self, n_epochs, train_loader, test_loader=None, progress=True,
+              start_epoch: int = 1):
+        # Resume semantics mirror SegTrainer.train (it drives the LR/BN
+        # schedules through the optimizer's step count on restore).
+        it = (start_epoch - 1) * len(train_loader)
         best_loss = 1e10
-        self.save(True, 0)
-        for epoch in range(1, n_epochs + 1):
+        if start_epoch == 1:
+            self.save(True, 0)
+        for epoch in range(start_epoch, n_epochs + 1):
             train_meter = AverageMeter()
             ap = {"Pred_IoU": [], "Pred_Matched": [], "N_GT_Inst": []}
             for batch in train_loader:

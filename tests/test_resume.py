@@ -102,3 +102,49 @@ def test_async_checkpoint_error_surfaces(tmp_path, monkeypatch):
         C.wait_pending_saves()
     # slot cleared: subsequent waits are clean
     C.wait_pending_saves()
+
+
+def test_flow_trainer_resume_roundtrip(tmp_path):
+    """FlowTrainer.resume restores params, BatchNorm running stats,
+    optimizer state and epoch (the CLIs now expose --resume on every
+    trainer; the reference always restarts at epoch 1)."""
+    import optax
+
+    from ogc_tpu.losses.flow_unsup import FlowLossConfig
+    from ogc_tpu.models.flownet import FlowStep3D
+    from ogc_tpu.parallel import mesh as pmesh
+    from ogc_tpu.train.flow import FlowTrainer
+
+    def make(tmp):
+        model = FlowStep3D(npoint=64, arch="sapien", loc_flow_nn=4,
+                           loc_flow_rad=0.2)
+        pc0 = jax.numpy.zeros((1, 64, 3))
+        variables = jax.jit(lambda k, a: model.init(k, a, a, a, a, 2))(
+            jax.random.PRNGKey(0), pc0
+        )
+        return FlowTrainer(
+            model=model, variables=variables, model_iters=2,
+            loss_cfg=FlowLossConfig(iters_w=(0.5, 1.0)),
+            optimizer=optax.adam(1e-3), exp_base=str(tmp),
+            mesh=pmesh.make_mesh(jax.devices()[:2]),
+        )
+
+    tr = make(tmp_path / "a")
+    rng = np.random.RandomState(0)
+    pcs = rng.rand(4, 2, 64, 3).astype(np.float32)
+    flows = (0.02 * rng.randn(4, 2, 64, 3)).astype(np.float32)
+    tr.train_it(0, (pcs, None, flows, None))
+    tr.save(False, epoch=5)
+
+    tr2 = make(tmp_path / "b")
+    epoch = tr2.resume(tr.checkpoint_name)
+    assert epoch == 5
+    for a, b in zip(jax.tree_util.tree_leaves(tr.params),
+                    jax.tree_util.tree_leaves(tr2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.batch_stats),
+                    jax.tree_util.tree_leaves(tr2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(tr.opt_state),
+                    jax.tree_util.tree_leaves(tr2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -28,6 +28,10 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str, help="Config file")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="Resume from the experiment dir's `current` "
+                             "checkpoint (full train state; the reference "
+                             "restarts at epoch 1)")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -107,7 +111,12 @@ def main():
         mesh=pmesh.make_mesh(),
         writer=make_writer(osp.join(args.save_path, "log")),
     )
-    trainer.train(args.epochs, train_loader, val_loader)
+    start_epoch = 1
+    if args.resume:
+        start_epoch = trainer.resume(osp.join(args.save_path, "current")) + 1
+        print(f"Resumed from epoch {start_epoch - 1}")
+    trainer.train(args.epochs, train_loader, val_loader,
+                  start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

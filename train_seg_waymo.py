@@ -29,6 +29,10 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str, help="Config file")
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="Resume from the experiment dir's `current` "
+                             "checkpoint (full train state; the reference "
+                             "restarts at epoch 1)")
     parser.add_argument("--round", type=int, default=0)
     args = parser.parse_args()
     load_config_into_args(args)
@@ -100,7 +104,12 @@ def main():
         writer=make_writer(osp.join(exp_base, "log")),
         frame_stride=2,  # Waymo items duplicate the single (backward) frame
     )
-    trainer.train(args.epochs, train_set, train_loader, val_loader)
+    start_epoch = 1
+    if args.resume:
+        start_epoch = trainer.resume(osp.join(exp_base, "current")) + 1
+        print(f"Resumed from epoch {start_epoch - 1}")
+    trainer.train(args.epochs, train_set, train_loader, val_loader,
+                  start_epoch=start_epoch)
 
 
 if __name__ == "__main__":
