@@ -127,6 +127,26 @@ def global_batch_size(mesh: Mesh, b_local: int) -> int:
     return int(all_b.sum())
 
 
+def manual_jit(fn, mesh: Mesh, in_batch, out_batch, axis: str = DATA_AXIS):
+    """jit(shard_map(fn)) with positional replicated/batch-sharded specs.
+
+    :param in_batch / out_batch: one bool per argument / output — True
+        shards axis 0 over the mesh, False replicates (a False also serves
+        as a pytree-prefix spec for whole parameter trees).
+
+    check_vma=False throughout: the models' internal fori_loops seed
+    carries from constants (unvarying), which the manual-axes type check
+    rejects, and none of the wrapped steps rely on the replication
+    checking (their cross-device semantics are explicit pmeans)."""
+    spec = lambda b: P(axis) if b else P()  # noqa: E731
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple(spec(b) for b in in_batch),
+        out_specs=tuple(spec(b) for b in out_batch),
+        check_vma=False,
+    ))
+
+
 def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data",
                 manual: bool = True):
     """Wrap a jitted per-batch eval forward for data-parallel serving.
@@ -170,25 +190,20 @@ def dp_eval_fwd(jitted, params: Any, n_devices: int = 0, axis: str = "data",
     rep = replicate(mesh, params)
 
     if manual:
-        def body(p, *arrays):
-            return jitted(p, *arrays)
-
-        # in_specs must match the call arity — build on first call.
+        # in_specs must match the call arity — build on first call.  The
+        # output spec is a single P(axis) pytree prefix (every output leaf
+        # has a leading batch axis per the docstring contract), so
+        # manual_jit's per-output tuple form does not apply here.
         state = {}
 
         def fwd(*arrays):
             sh, b = shard_padded(mesh, [np.asarray(a) for a in arrays], axis)
             if "run" not in state:
-                # check_vma=False: the models' internal fori_loops seed
-                # carries from constants (unvarying), which the manual-axes
-                # type check rejects; eval forwards use no collectives, so
-                # the check buys nothing here.
                 state["run"] = jax.jit(jax.shard_map(
-                    body, mesh=mesh,
-                    in_specs=(jax.tree_util.tree_map(lambda _: P(), params),)
-                    + (P(axis),) * len(sh),
+                    jitted, mesh=mesh,
+                    in_specs=(P(),) + (P(axis),) * len(sh),
                     out_specs=P(axis),
-                    check_vma=False,
+                    check_vma=False,  # see manual_jit
                 ))
             out = state["run"](rep, *sh)
             return jax.tree_util.tree_map(lambda y: local_values(y, b), out)

@@ -77,10 +77,7 @@ class FlowTrainer:
         if manual_spmd is None:
             manual_spmd = int(self.mesh.devices.size) > 1
         if manual_spmd:
-            from jax.sharding import PartitionSpec as P
-
             axis = pmesh.DATA_AXIS
-            P0, Pd = P(), P(axis)
 
             def train_step(params, batch_stats, opt_state, pc1, pc2,
                            gt_flow, bnm):
@@ -92,12 +89,11 @@ class FlowTrainer:
                 ld = jax.lax.pmean(ld, axis)
                 return params, new_stats, opt_state, ld
 
-            self._train_step = jax.jit(jax.shard_map(
-                train_step, mesh=self.mesh,
-                in_specs=(P0, P0, P0, Pd, Pd, Pd, P0),
-                out_specs=(P0, P0, P0, P0),
-                check_vma=False,
-            ))
+            self._train_step = pmesh.manual_jit(
+                train_step, self.mesh,
+                in_batch=(False, False, False, True, True, True, False),
+                out_batch=(False, False, False, False),
+            )
 
             def eval_step(params, batch_stats, pc1, pc2, gt_flow):
                 loss, ld = self._eval_step_impl(
@@ -107,10 +103,11 @@ class FlowTrainer:
                     jax.lax.pmean(loss, axis), jax.lax.pmean(ld, axis)
                 )
 
-            self._eval_step = jax.jit(jax.shard_map(
-                eval_step, mesh=self.mesh, in_specs=(P0, P0, Pd, Pd, Pd),
-                out_specs=(P0, P0), check_vma=False,
-            ))
+            self._eval_step = pmesh.manual_jit(
+                eval_step, self.mesh,
+                in_batch=(False, False, True, True, True),
+                out_batch=(False, False),
+            )
         else:
             self._train_step = jax.jit(self._train_step_impl)
             self._eval_step = jax.jit(self._eval_step_impl)

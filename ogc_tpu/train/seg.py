@@ -189,10 +189,7 @@ class SegTrainer:
     def _manual_train_step(self):
         import functools
 
-        from jax.sharding import PartitionSpec as P
-
         axis = pmesh.DATA_AXIS
-        P0, Pd = P(), P(axis)
 
         def step(aug, params, opt_state, pcs, flows, it_samples):
             (_, (ld, masks)), grads = jax.value_and_grad(
@@ -210,22 +207,17 @@ class SegTrainer:
 
         def run(params, opt_state, pcs, flows, it_samples, aug):
             if aug not in cache:
-                cache[aug] = jax.jit(jax.shard_map(
-                    functools.partial(step, aug),
-                    mesh=self.mesh,
-                    in_specs=(P0, P0, Pd, Pd, P0),
-                    out_specs=(P0, P0, P0, Pd),
-                    check_vma=False,
-                ))
+                cache[aug] = pmesh.manual_jit(
+                    functools.partial(step, aug), self.mesh,
+                    in_batch=(False, False, True, True, False),
+                    out_batch=(False, False, False, True),
+                )
             return cache[aug](params, opt_state, pcs, flows, it_samples)
 
         return run
 
     def _manual_eval_step(self):
-        from jax.sharding import PartitionSpec as P
-
         axis = pmesh.DATA_AXIS
-        P0, Pd = P(), P(axis)
 
         def step(params, pcs, flows):
             loss, (ld, masks) = self._loss(
@@ -235,10 +227,10 @@ class SegTrainer:
                 jax.lax.pmean(loss, axis), jax.lax.pmean(ld, axis), masks
             )
 
-        return jax.jit(jax.shard_map(
-            step, mesh=self.mesh, in_specs=(P0, Pd, Pd),
-            out_specs=(P0, P0, Pd), check_vma=False,
-        ))
+        return pmesh.manual_jit(
+            step, self.mesh, in_batch=(False, True, True),
+            out_batch=(False, False, True),
+        )
 
     # ------------------------------------------------------------------
     # Host loop

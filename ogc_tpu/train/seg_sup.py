@@ -48,10 +48,7 @@ class SupSegTrainer:
         if manual_spmd is None:
             manual_spmd = int(self.mesh.devices.size) > 1
         if manual_spmd:
-            from jax.sharding import PartitionSpec as P
-
             axis = pmesh.DATA_AXIS
-            P0, Pd = P(), P(axis)
 
             def train_step(params, opt_state, pc, gt_mask, valid):
                 (_, (ld, mask)), grads = jax.value_and_grad(
@@ -65,21 +62,21 @@ class SupSegTrainer:
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, ld, mask
 
-            self._train_step = jax.jit(jax.shard_map(
-                train_step, mesh=self.mesh,
-                in_specs=(P0, P0, Pd, Pd, Pd),
-                out_specs=(P0, P0, P0, Pd), check_vma=False,
-            ))
+            self._train_step = pmesh.manual_jit(
+                train_step, self.mesh,
+                in_batch=(False, False, True, True, True),
+                out_batch=(False, False, False, True),
+            )
 
             def eval_step(params, pc, gt_mask, valid):
                 loss, (ld, mask) = self._loss(params, pc, gt_mask, valid)
                 return (jax.lax.pmean(loss, axis),
                         jax.lax.pmean(ld, axis), mask)
 
-            self._eval_step = jax.jit(jax.shard_map(
-                eval_step, mesh=self.mesh, in_specs=(P0, Pd, Pd, Pd),
-                out_specs=(P0, P0, Pd), check_vma=False,
-            ))
+            self._eval_step = pmesh.manual_jit(
+                eval_step, self.mesh, in_batch=(False, True, True, True),
+                out_batch=(False, False, True),
+            )
         else:
             self._train_step = jax.jit(self._train_step_impl)
             self._eval_step = jax.jit(self._eval_step_impl)

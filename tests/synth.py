@@ -114,3 +114,16 @@ def make_kittisf_root(base, n_scenes=4, n_points=256, seed=0):
     with open(val_map, "w") as f:
         f.write(ids[-1])
     return base, train_map, val_map
+
+
+def scene_like_cloud(rng, n, extent=30.0):
+    """Surface-like outdoor cloud: ground plane + a few clusters — the
+    regime where Morton blocking / spatial locality is informative (used
+    by the pruned-KNN tests and the on-chip KNN A/B bench)."""
+    ground = np.c_[extent * rng.rand(n // 2, 2), 0.2 * rng.rand(n // 2, 1)]
+    ks = [
+        extent * rng.rand(3) * np.array([1, 1, 0.1])
+        + rng.randn(n // 14, 3) * np.array([1.5, 1.5, 0.8])
+        for _ in range(8)
+    ]
+    return np.vstack([ground] + ks)[:n].astype(np.float32)

@@ -142,16 +142,7 @@ def test_ball_mode_crowded_is_block_stratified():
 # ---------------------------------------------------------------------------
 
 
-def _scene(rng, n):
-    """Surface-like scene: ground plane + clusters (the regime where Morton
-    blocking is informative; uniform volumes are the kernel's worst case)."""
-    ground = np.c_[30 * rng.rand(n // 2, 2), 0.2 * rng.rand(n // 2, 1)]
-    ks = [
-        30 * rng.rand(3) * np.array([1, 1, 0.1])
-        + rng.randn(n // 14, 3) * np.array([1.5, 1.5, 0.8])
-        for _ in range(8)
-    ]
-    return np.vstack([ground] + ks)[:n].astype(np.float32)
+from tests.synth import scene_like_cloud as _scene
 
 
 def test_pruned_recall_and_consistency():

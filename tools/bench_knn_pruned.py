@@ -30,16 +30,12 @@ def main():
     from bench import make_timed
     from ogc_tpu.ops.pallas_knn import knn_blockmin, knn_pruned
 
+    from tests.synth import scene_like_cloud  # REPO already on sys.path
+
     rng = np.random.RandomState(0)
 
     def scene(n):
-        ground = np.c_[30 * rng.rand(n // 2, 2), 0.2 * rng.rand(n // 2, 1)]
-        ks = [
-            30 * rng.rand(3) * np.array([1, 1, 0.1])
-            + rng.randn(n // 14, 3) * np.array([1.5, 1.5, 0.8])
-            for _ in range(8)
-        ]
-        return np.vstack([ground] + ks)[:n].astype(np.float32)
+        return scene_like_cloud(rng, n)
 
     # (B, N, M, k, pruned configs [(n_cand_blocks, blk)])
     cases = [
