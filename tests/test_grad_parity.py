@@ -89,10 +89,22 @@ def _loss_cfg():
     )
 
 
-@pytest.mark.parametrize("aug", [False, True], ids=["2frame", "4frame_aug"])
-def test_seg_unsup_loss_grad_parity(tmp_path_factory, exact_neighbors, aug):
-    out = str(tmp_path_factory.mktemp("golden") / f"seg_grad{aug}.npz")
-    _gen("seg_grad", out, ("--aug",) if aug else ())
+@pytest.mark.parametrize(
+    "mode,aug",
+    [
+        ("seg_grad", False), ("seg_grad", True),
+        # The Waymo trainer's own loss copy (train_seg_waymo.py:244-334):
+        # 1-frame backward-flow input / 2 augmented views with invariance
+        # pair (0, 1) — ogc_loss covers it through the same n_frames
+        # plumbing, so the comparison body is shared.
+        ("seg_waymo_grad", False), ("seg_waymo_grad", True),
+    ],
+    ids=["2frame", "4frame_aug", "waymo_1frame", "waymo_2frame_aug"],
+)
+def test_seg_unsup_loss_grad_parity(tmp_path_factory, exact_neighbors, mode,
+                                    aug):
+    out = str(tmp_path_factory.mktemp("golden") / f"{mode}{aug}.npz")
+    _gen(mode, out, ("--aug",) if aug else ())
     z = np.load(out)
     state = {k[2:]: z[k] for k in z.files if k.startswith("w/")}
     grads = {k[2:]: z[k] for k in z.files if k.startswith("g/")}

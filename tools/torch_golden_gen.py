@@ -23,7 +23,9 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "model", choices=["segnet", "flownet", "seg_grad", "flow_grad"]
+        "model",
+        choices=["segnet", "flownet", "seg_grad", "flow_grad",
+                 "seg_waymo_grad"],
     )
     parser.add_argument("out", type=str)
     parser.add_argument("--ref_root", type=str, default="/root/reference")
@@ -121,6 +123,78 @@ def main():
             **arrays, **grads,
         )
         print(f"seg_grad golden: loss={loss.item():.6f} "
+              f"({len(grads)} grads) -> {args.out}")
+        return
+
+    if args.model == "seg_waymo_grad":
+        # The Waymo trainer's OWN loss copy (train_seg_waymo.py:244-334):
+        # 1-frame backward-flow input (non-aug) or 2 augmented views with
+        # the invariance pair (0, 1).  Same term modules, different frame
+        # plumbing than losses/seg_loss_unsup.UnsupervisedOGCLoss.
+        from models.segnet_sapien import MaskFormer3D
+        from losses.seg_loss_unsup import (
+            DynamicLoss, SmoothLoss, InvarianceLoss, EntropyLoss, RankLoss,
+        )
+        import losses.seg_loss_unsup as SL
+        from train_seg_waymo import UnsupervisedOGCLoss as WaymoLoss
+
+        net = MaskFormer3D(
+            n_slot=8, n_point=args.n_point, use_xyz=True,
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+        net.train()
+        recorded_perms = []
+        _orig_match = SL.match_mask_by_iou
+
+        def _recording_match(m1, m2):
+            p = _orig_match(m1, m2)
+            recorded_perms.append(p.detach().numpy())
+            return p
+
+        SL.match_mask_by_iou = _recording_match
+        criterion = WaymoLoss(
+            DynamicLoss(loss_norm=2),
+            SmoothLoss(
+                w_knn=3.0, w_ball_q=1.0,
+                knn_loss_params=dict(k=8, radius=0.1, loss_norm=1),
+                ball_q_loss_params=dict(k=16, radius=0.2, loss_norm=1),
+            ),
+            InvarianceLoss(loss_norm=2),
+            EntropyLoss(), RankLoss(),
+            weights=[10.0, 0.1, 0.1], start_steps=[0, 0, 0],
+        )
+        t = 2 if args.aug else 1
+        pcs = rng.rand(args.batch, t, args.n_point, 3).astype(np.float32)
+        flows = 0.1 * rng.randn(args.batch, t, args.n_point, 3).astype(
+            np.float32
+        )
+        pcs_t = torch.from_numpy(
+            pcs.reshape(args.batch * t, args.n_point, 3)
+        )
+        masks = net(pcs_t, pcs_t)
+        masks = masks.view(args.batch, t, args.n_point, -1)
+        loss, loss_dict = criterion(
+            [torch.from_numpy(np.ascontiguousarray(pcs[:, tt]))
+             for tt in range(t)],
+            [masks[:, tt].contiguous() for tt in range(t)],
+            [torch.from_numpy(np.ascontiguousarray(flows[:, tt]))
+             for tt in range(t)],
+            step_w=False, aug_transform=args.aug,
+        )
+        loss.backward()
+        arrays = {f"w/{k}": v.detach().numpy()
+                  for k, v in net.state_dict().items()}
+        grads = {f"g/{k}": p.grad.detach().numpy()
+                 for k, p in net.named_parameters() if p.grad is not None}
+        np.savez(
+            args.out, pcs=pcs, flows=flows, loss=np.float32(loss.item()),
+            mask=masks.detach().numpy(),
+            **{f"perm{i}": p for i, p in enumerate(recorded_perms)},
+            n_perms=np.int32(len(recorded_perms)),
+            **{f"ld/{k}": np.float32(v) for k, v in loss_dict.items()},
+            **arrays, **grads,
+        )
+        print(f"seg_waymo_grad golden: loss={loss.item():.6f} "
               f"({len(grads)} grads) -> {args.out}")
         return
 
