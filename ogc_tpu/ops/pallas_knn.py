@@ -29,6 +29,7 @@ neighbors, never through knn's dist output).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -42,12 +43,98 @@ _QT = 512    # query tile (sublanes)
 _TM = 1024   # candidate tile per inner step (sublanes); 2048 overflows
              # scoped VMEM at blk=4 (d2 + iota + where temporaries)
 
+# Key-extraction scheme (see _bitonic_smallest): "iter" = k sequential
+# masked-min passes (~3*k*G element-ops); "bitonic" = partial bitonic sort
+# along sublanes (~(log^2 kb + 2*log(G/kb)*(1 + log kb)) passes — ~4x fewer
+# ops at k=32, G=2048).  Read at import (trace-time static, like
+# OGC_PALLAS_POOL): set before process start for A/B runs.
+_EXTRACT_ENV = os.environ.get("OGC_PALLAS_KNN_EXTRACT", "iter")
+
 
 _BALL_INVALID = 2**30  # sentinel key: no in-radius point in the block
 
 
-def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, q_ref, p_ref, dist_ref,
-                idx_ref, keys_scr):
+def _ce_stage(v: Array, size: int, st: int) -> Array:
+    """One bitonic compare-exchange stage along the sublane (row) dim.
+
+    Pairs row i with row i+st inside every 2*st-row group; the sort
+    direction alternates per `size`-row block (the standard bitonic
+    network indexing).  Everything is sublane-group reshapes + elementwise
+    min/max/select — the lane (query) dim is untouched, so the whole stage
+    is full-width VPU work."""
+    R, Q = v.shape
+    outer = R // (2 * st)
+    v3 = v.reshape(outer, 2 * st, Q)
+    a = v3[:, :st]
+    b = v3[:, st:]
+    mn = jnp.minimum(a, b)
+    mx = jnp.maximum(a, b)
+    period = size // (2 * st)  # outer groups per direction flip
+    if period >= outer:        # single block: ascending everywhere
+        lo, hi = mn, mx
+    else:
+        i0 = jax.lax.broadcasted_iota(jnp.int32, (outer, st, Q), 0)
+        asc = ((i0 // period) & 1) == 0
+        lo = jnp.where(asc, mn, mx)
+        hi = jnp.where(asc, mx, mn)
+    return jnp.concatenate([lo, hi], axis=1).reshape(R, Q)
+
+
+def _bitonic_smallest(keys: Array, k: int) -> Array:
+    """Exact k smallest keys of every column, ascending — partial bitonic
+    sort along the sublane dim.  `keys` is (G, Q) int32 with G a power of
+    two and next_pow2(k) <= G; duplicates sort stably by value (exactness
+    for KNN needs unique keys, which the packed (d2|idx) encoding gives).
+
+    Cost model vs the iterative extraction (k passes of mask+min over all
+    G rows, ~3*k*G element-ops): sort kb-blocks with alternating
+    directions (log kb (log kb+1)/2 passes over G rows), then repeatedly
+    halve — elementwise min of adjacent (ascending, descending) kb-block
+    pairs keeps the kb smallest as a bitonic sequence (one pass), bitonic
+    merge re-sorts (log kb passes over the surviving rows).  Total
+    ~ (15 + 2*(1+5)) * G ~= 27*G element-ops at k=32 vs 96*G iterative."""
+    G, Q = keys.shape
+    kb = max(2, 1 << (k - 1).bit_length())
+    assert G & (G - 1) == 0 and kb <= G, (G, kb)
+    v = keys
+    size = 2
+    while size <= kb:          # sort kb-row blocks, directions alternating
+        st = size // 2
+        while st >= 1:
+            v = _ce_stage(v, size, st)
+            st //= 2
+        size *= 2
+    rows = G
+    while rows > kb:
+        # Adjacent blocks are (ascending, descending) = one bitonic 2*kb
+        # sequence; its elementwise half-min is the kb smallest, bitonic.
+        v4 = v.reshape(rows // (2 * kb), 2, kb, Q)
+        v = jnp.minimum(v4[:, 0], v4[:, 1]).reshape(rows // 2, Q)
+        rows //= 2
+        # Bitonic merge back to sorted; alternate directions while more
+        # levels remain, plain ascending on the last.
+        size = kb if rows > kb else 2 * kb
+        st = kb // 2
+        while st >= 1:
+            v = _ce_stage(v, size, st)
+            st //= 2
+    return v[:k]
+
+
+def _extract_mode(g_total: int, k: int, extract: str | None) -> str:
+    """Resolve the extraction scheme for a kernel instance.  Falls back to
+    the iterative path when the (padded) key-row count cannot host the
+    bitonic network."""
+    mode = _EXTRACT_ENV if extract is None else extract
+    if mode == "bitonic":
+        g_pad = 1 << max(1, (g_total - 1).bit_length())
+        if max(2, 1 << (k - 1).bit_length()) <= g_pad:
+            return "bitonic"
+    return "iter"
+
+
+def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, g_total,
+                q_ref, p_ref, dist_ref, idx_ref, keys_scr):
     """q_ref (1, 3, QT); p_ref (1, Mp, 3); outs (1, k, QT) — candidates on
     SUBLANES (Mosaic supports sublane-group reshapes/reductions; lane-dim
     splits are 'unsupported shape cast').
@@ -96,14 +183,8 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, q_ref, p_ref, dist_ref,
 
     jax.lax.fori_loop(0, n_mtiles, mstep, 0)
 
-    keys = keys_scr[:, :]            # (G_total, QT)
-    last = jnp.full((1, keys.shape[1]), jnp.int32(-(2**31)))
-    big = jnp.int32(2**31 - 1)
-    for i in range(k):
-        # Keys are unique (idx bits differ), so "min over keys > last"
-        # walks the exact sorted order without any scatter/removal.
-        nxt = jnp.min(jnp.where(keys <= last, big, keys), axis=0,
-                      keepdims=True)                       # (1, QT)
+    def emit(i, nxt):
+        """Write extraction i from a (1, QT) packed-key row."""
         if ball_r2 is None:
             idx_ref[0, i, :] = (nxt & mask_low)[0]
             d2_sel = pltpu.bitcast(nxt & ~mask_low, jnp.float32)
@@ -111,13 +192,36 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, q_ref, p_ref, dist_ref,
         else:
             idx_ref[0, i, :] = nxt[0]
             dist_ref[0, i, :] = jnp.zeros_like(nxt[0], jnp.float32)
+
+    g_pad = keys_scr.shape[0]
+    if extract == "bitonic":
+        if g_pad > g_total:
+            # Scratch pad rows (added to reach a power of two) sort last.
+            keys_scr[pl.ds(g_total, g_pad - g_total), :] = jnp.full(
+                (g_pad - g_total, keys_scr.shape[1]), jnp.int32(2**31 - 1)
+            )
+        topk = _bitonic_smallest(keys_scr[:, :], k)        # (k, QT)
+        for i in range(k):
+            emit(i, topk[i:i + 1, :])
+        return
+
+    keys = keys_scr[pl.ds(0, g_total), :]                  # (G_total, QT)
+    last = jnp.full((1, keys.shape[1]), jnp.int32(-(2**31)))
+    big = jnp.int32(2**31 - 1)
+    for i in range(k):
+        # Keys are unique (idx bits differ), so "min over keys > last"
+        # walks the exact sorted order without any scatter/removal.
+        nxt = jnp.min(jnp.where(keys <= last, big, keys), axis=0,
+                      keepdims=True)                       # (1, QT)
+        emit(i, nxt)
         last = nxt
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
                 interpret: bool = False,
-                ball_r2: float | None = None) -> Tuple[Array, Array]:
+                ball_r2: float | None = None,
+                extract: str = "iter") -> Tuple[Array, Array]:
     """:param query_t: (B, 3, Np) — Np multiple of _QT.
     :param points: (B, Mp, 3) — Mp multiple of _TM.
     :return: (dist (B, k, Np) f32, idx (B, k, Np) int32) — note the
@@ -125,9 +229,15 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
     B, _, Np = query_t.shape
     Mp = points.shape[1]
     g_total = Mp // blk
+    # Bitonic extraction sorts over a power-of-two row count; the scratch
+    # pad rows are filled with INT32_MAX in-kernel.
+    g_pad = (
+        1 << max(1, (g_total - 1).bit_length())
+        if extract == "bitonic" else g_total
+    )
     idx_bits = max(1, (Mp - 1).bit_length())
     kernel = functools.partial(
-        _knn_kernel, k, blk, idx_bits, Mp // _TM, ball_r2
+        _knn_kernel, k, blk, idx_bits, Mp // _TM, ball_r2, extract, g_total
     )
     return pl.pallas_call(
         kernel,
@@ -148,7 +258,7 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
             pl.BlockSpec((1, k, _QT), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((g_total, _QT), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((g_pad, _QT), jnp.int32)],
         interpret=interpret,
     )(query_t, points)
 
@@ -439,6 +549,7 @@ def knn_blockmin(
     recall_target: float = 0.95,
     blk: int | None = None,
     interpret: bool = False,
+    extract: str | None = None,
 ) -> Tuple[Array, Array]:
     """Approximate KNN via the fused Pallas kernel (see module docstring).
 
@@ -464,7 +575,8 @@ def knn_blockmin(
     if np_ != N:
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
 
-    dist, idx = _knn_pallas(q_t, p, k, blk, interpret)
+    dist, idx = _knn_pallas(q_t, p, k, blk, interpret,
+                            extract=_extract_mode(mp // blk, k, extract))
     dist = jnp.swapaxes(dist, 1, 2)[:, :N]
     idx = jnp.swapaxes(idx, 1, 2)[:, :N]
     return dist, idx
@@ -478,6 +590,7 @@ def ball_query_blockmin(
     recall_target: float = 0.95,
     blk: int | None = None,
     interpret: bool = False,
+    extract: str | None = None,
 ) -> Array:
     """Ball query via the fused kernel's ball mode (see _knn_kernel).
 
@@ -517,6 +630,8 @@ def ball_query_blockmin(
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
 
     _, idx = _knn_pallas(
-        q_t, p, nsample, blk, interpret, ball_r2=float(radius) * float(radius)
+        q_t, p, nsample, blk, interpret,
+        ball_r2=float(radius) * float(radius),
+        extract=_extract_mode(mp // blk, nsample, extract),
     )
     return jnp.swapaxes(idx, 1, 2)[:, :N]

@@ -30,6 +30,7 @@ STEPS = {
     "bench": (["python", "bench.py"], 2400),
     "benchoff": (["python", "bench.py"], 2400),  # OGC_PALLAS_POOL=off
     "knnab": (["python", "tools/bench_knn_pruned.py"], 2400),
+    "knnext": (["python", "tools/bench_knn_extract.py"], 2400),
     "benchtrain": (["python", "bench_train.py"], 2400),
     "prefixprof": (["python", "tools/profile_prefix.py"], 2400),
     "vote": (["python", "tools/tpu_e2e_smoke.py", "--mode", "vote_scale"],
@@ -38,7 +39,8 @@ STEPS = {
 # Fast, high-information steps first (kernel validation + the bench A/B),
 # then the measurement probes, then the long pipeline smokes — `seg` also
 # exercises vote.py's fused batch path on-chip.
-DEFAULT = "pool,bench,benchoff,knnab,benchtrain,prefixprof,seg,flowbf16,vote"
+DEFAULT = ("pool,bench,benchoff,knnext,knnab,benchtrain,prefixprof,seg,"
+           "flowbf16,vote")
 
 
 def probe(timeout=120):
