@@ -1,6 +1,7 @@
 """CLI smoke tests: train_seg.py then test_seg.py on a synthetic SAPIEN set,
 run as real subprocesses with the reference-compatible YAML interface."""
 
+import dataclasses
 import os
 import os.path as osp
 import subprocess
@@ -139,6 +140,38 @@ def test_compute_dtype_hook(tmp_path):
     cfg.write_text("foo: 2\n")
     load_config_into_args(argparse.Namespace(config=str(cfg)))
     assert compute_dtype() is None
+
+
+def test_fast_configs_resolve_fast_modes():
+    """The shipped *_fast.yaml configs must actually flip the validated
+    fast modes: bf16 compute + symmetric smooth gradients (PARITY.md
+    5-seed ablations back both as accuracy-neutral)."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ogc_tpu.losses.seg_unsup import OGCLossConfig
+    from ogc_tpu.nn.layers import compute_dtype, set_compute_dtype
+    from ogc_tpu.utils.config import load_config_into_args
+
+    for cfg in ("config/seg/kittisf/kittisf_unsup_fast.yaml",
+                "config/seg/waymo/waymo_unsup_fast.yaml"):
+        base = cfg.replace("_fast", "")
+        args = argparse.Namespace(config=os.path.join(REPO, cfg))
+        ref = argparse.Namespace(config=os.path.join(REPO, base))
+        try:
+            load_config_into_args(args)
+            assert compute_dtype() == jnp.bfloat16, cfg
+        finally:
+            set_compute_dtype(None)
+        load_config_into_args(ref)
+        lc = OGCLossConfig.from_dict(args.loss)
+        assert lc.symmetric_smooth_grad, cfg
+        # Everything else must match the parity config exactly.
+        base_lc = OGCLossConfig.from_dict(ref.loss)
+        assert lc == dataclasses.replace(base_lc, symmetric_smooth_grad=True)
+        assert args.segnet == ref.segnet and args.epochs == ref.epochs
+        assert args.lr == ref.lr and args.batch_size == ref.batch_size
 
 
 def _run_vote(cfg_path, cli_env, *extra):

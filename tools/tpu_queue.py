@@ -35,12 +35,20 @@ STEPS = {
     "prefixprof": (["python", "tools/profile_prefix.py"], 2400),
     "vote": (["python", "tools/tpu_e2e_smoke.py", "--mode", "vote_scale"],
              2400),
+    # 8192-pt re-runs of the 5-seed ablations (PARITY.md tables are 2048-pt;
+    # the KITTI/Waymo point count is the scale the defaults actually serve).
+    "abl8k_nb": (["python", "tools/ablate_approx_knn.py", "--ablate",
+                  "neighbors", "--seeds", "5", "--n_points", "8192"], 5400),
+    "abl8k_sg": (["python", "tools/ablate_approx_knn.py", "--ablate",
+                  "symgrad", "--seeds", "5", "--n_points", "8192"], 5400),
+    "abl8k_dt": (["python", "tools/ablate_approx_knn.py", "--ablate",
+                  "dtype", "--seeds", "5", "--n_points", "8192"], 5400),
 }
 # Fast, high-information steps first (kernel validation + the bench A/B),
 # then the measurement probes, then the long pipeline smokes — `seg` also
 # exercises vote.py's fused batch path on-chip.
 DEFAULT = ("pool,bench,benchoff,knnext,knnab,benchtrain,prefixprof,seg,"
-           "flowbf16,vote")
+           "flowbf16,vote,abl8k_nb,abl8k_sg,abl8k_dt")
 
 
 def probe(timeout=120):
