@@ -188,7 +188,7 @@ def test_dp_eval_fwd_manual_matches_gspmd():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
 
 
-def _make_trainer(tmp, manual):
+def _make_trainer(tmp, manual, symgrad=False):
     model = MaskFormer3D(
         n_slot=N_SLOT, n_point=N_POINT, arch="sapien",
         n_transformer_layer=1, transformer_embed_dim=64,
@@ -198,10 +198,38 @@ def _make_trainer(tmp, manual):
     mesh = pmesh.make_mesh(jax.devices()[:8])
     return SegTrainer(
         model=model, params=params,
-        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0)),
+        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0),
+                               symmetric_smooth_grad=symgrad),
         optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 8),
         aug_transform_epoch=9999, ignore_npoint_thresh=0,
         exp_base=str(tmp), mesh=mesh, manual_spmd=manual,
+    )
+
+
+def test_fast_mode_train_step_has_no_all_gathers(tmp_path):
+    """The fast-mode combination (bf16 compute + symmetric smooth grad —
+    the *_fast.yaml configs) lowers DIFFERENT gathers than the default
+    step (source-projected grouping moves the first Dense before the
+    neighbor gather; the scatter-free smooth backward reshapes the
+    cotangent flow), so the default step's all-gather audit does not
+    cover it.  GSPMD must keep all of them shard-local too."""
+    import jax.numpy as jnp
+
+    from ogc_tpu.nn.layers import set_compute_dtype
+
+    set_compute_dtype(jnp.bfloat16)
+    try:
+        tr = _make_trainer(tmp_path / "fast", manual=False, symgrad=True)
+        pcs, segms, flows, _ = _batch(8, seed=5)
+        (pcs_d, flows_d), b = tr._shard(pcs, flows)
+        txt = tr._train_step.lower(
+            tr.params, tr.opt_state, pcs_d, flows_d,
+            jnp.int32(0), aug=False,
+        ).compile().as_text()
+    finally:
+        set_compute_dtype(None)
+    assert txt.count("all-gather") == 0, (
+        "fast-mode gathers re-gather the batch axis"
     )
 
 
