@@ -50,6 +50,17 @@ _TM = 1024   # candidate tile per inner step (sublanes); 2048 overflows
 # OGC_PALLAS_POOL): set before process start for A/B runs.
 _EXTRACT_ENV = os.environ.get("OGC_PALLAS_KNN_EXTRACT", "iter")
 
+# d2 scheme: "vpu" = direct (p - q)^2 broadcast form (8 VPU ops/pair);
+# "mxu" = |p|^2 + |q|^2 - 2 p.q with the cross term on the (otherwise
+# idle) MXU via a K=3 dot_general at Precision.HIGHEST — ~3 VPU ops/pair.
+# Numerics: the expanded form carries ~|p||q|*eps_f32 absolute error
+# (catastrophic cancellation near zero), ~5e-4 m^2 at 30 m scene scale —
+# larger than the packed-key truncation for sub-decimeter neighbors, so
+# in-band ordering near exact ties can differ from the reference rule.
+# Approximate mode only (exact mode never enters this kernel); default
+# stays "vpu" pending the on-chip A/B (tools/bench_knn_extract.py).
+_D2_ENV = os.environ.get("OGC_PALLAS_KNN_D2", "vpu")
+
 
 _BALL_INVALID = 2**30  # sentinel key: no in-radius point in the block
 
@@ -133,8 +144,8 @@ def _extract_mode(g_total: int, k: int, extract: str | None) -> str:
     return "iter"
 
 
-def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, g_total,
-                q_ref, p_ref, dist_ref, idx_ref, keys_scr):
+def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, d2_mode,
+                g_total, q_ref, p_ref, dist_ref, idx_ref, keys_scr):
     """q_ref (1, 3, QT); p_ref (1, Mp, 3); outs (1, k, QT) — candidates on
     SUBLANES (Mosaic supports sublane-group reshapes/reductions; lane-dim
     splits are 'unsupported shape cast').
@@ -149,17 +160,32 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, g_total,
     qy = q_ref[0, 1:2, :]
     qz = q_ref[0, 2:3, :]
     mask_low = jnp.int32((1 << idx_bits) - 1)
+    if d2_mode == "mxu":
+        q3 = q_ref[0, :, :]          # (3, QT)
+        qn = qx * qx + qy * qy + qz * qz    # (1, QT)
 
     def mstep(mt, _):
         sl = pl.ds(mt * _TM, _TM)
         p = p_ref[0, sl, :]          # (TM, 3)
-        px = p[:, 0:1]               # (TM, 1) columns
-        py = p[:, 1:2]
-        pz = p[:, 2:3]
-        dx = px - qx                 # (TM, QT)
-        dy = py - qy
-        dz = pz - qz
-        d2 = dx * dx + dy * dy + dz * dz
+        if d2_mode == "mxu":
+            # Expanded form: the cross term rides the idle MXU (K=3 f32
+            # HIGHEST dot); VPU only adds norms + clamps.  See _D2_ENV for
+            # the numerics caveat.
+            pn = jnp.sum(p * p, axis=1, keepdims=True)      # (TM, 1)
+            dot = jax.lax.dot_general(
+                p, q3, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                               # (TM, QT)
+            d2 = jnp.maximum(pn + qn - 2.0 * dot, 0.0)
+        else:
+            px = p[:, 0:1]           # (TM, 1) columns
+            py = p[:, 1:2]
+            pz = p[:, 2:3]
+            dx = px - qx             # (TM, QT)
+            dy = py - qy
+            dz = pz - qz
+            d2 = dx * dx + dy * dy + dz * dz
 
         g = _TM // blk
         d3 = d2.reshape(g, blk, d2.shape[1])
@@ -217,11 +243,12 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, g_total,
         last = nxt
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
                 interpret: bool = False,
                 ball_r2: float | None = None,
-                extract: str = "iter") -> Tuple[Array, Array]:
+                extract: str = "iter",
+                d2_mode: str = "vpu") -> Tuple[Array, Array]:
     """:param query_t: (B, 3, Np) — Np multiple of _QT.
     :param points: (B, Mp, 3) — Mp multiple of _TM.
     :return: (dist (B, k, Np) f32, idx (B, k, Np) int32) — note the
@@ -237,7 +264,8 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
     )
     idx_bits = max(1, (Mp - 1).bit_length())
     kernel = functools.partial(
-        _knn_kernel, k, blk, idx_bits, Mp // _TM, ball_r2, extract, g_total
+        _knn_kernel, k, blk, idx_bits, Mp // _TM, ball_r2, extract, d2_mode,
+        g_total,
     )
     return pl.pallas_call(
         kernel,
@@ -550,6 +578,7 @@ def knn_blockmin(
     blk: int | None = None,
     interpret: bool = False,
     extract: str | None = None,
+    d2_mode: str | None = None,
 ) -> Tuple[Array, Array]:
     """Approximate KNN via the fused Pallas kernel (see module docstring).
 
@@ -576,7 +605,8 @@ def knn_blockmin(
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
 
     dist, idx = _knn_pallas(q_t, p, k, blk, interpret,
-                            extract=_extract_mode(mp // blk, k, extract))
+                            extract=_extract_mode(mp // blk, k, extract),
+                            d2_mode=d2_mode or _D2_ENV)
     dist = jnp.swapaxes(dist, 1, 2)[:, :N]
     idx = jnp.swapaxes(idx, 1, 2)[:, :N]
     return dist, idx
@@ -591,6 +621,7 @@ def ball_query_blockmin(
     blk: int | None = None,
     interpret: bool = False,
     extract: str | None = None,
+    d2_mode: str | None = None,
 ) -> Array:
     """Ball query via the fused kernel's ball mode (see _knn_kernel).
 
@@ -633,5 +664,6 @@ def ball_query_blockmin(
         q_t, p, nsample, blk, interpret,
         ball_r2=float(radius) * float(radius),
         extract=_extract_mode(mp // blk, nsample, extract),
+        d2_mode=d2_mode or _D2_ENV,
     )
     return jnp.swapaxes(idx, 1, 2)[:, :N]

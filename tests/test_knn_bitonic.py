@@ -68,6 +68,46 @@ def test_knn_extract_equivalence_nonpow2_rows(clouds):
     np.testing.assert_array_equal(np.asarray(d_it), np.asarray(d_bt))
 
 
+def test_mxu_d2_quality(clouds):
+    """The expanded |p|^2+|q|^2-2pq form (MXU arm) carries cancellation
+    error near zero, so it is NOT bit-equal to the direct form — but on
+    non-degenerate clouds it must keep top-1 exact and full top-k equal
+    away from ties."""
+    from ogc_tpu import ops
+
+    q, p = clouds
+    k = 16
+    _, i_ref = ops.knn(k, q, p, exact=True)
+    d_mx, i_mx = knn_blockmin(k, q, p, blk=8, interpret=True, d2_mode="mxu")
+    np.testing.assert_array_equal(
+        np.asarray(i_ref[..., 0]), np.asarray(i_mx[..., 0])
+    )
+    d_vp, i_vp = knn_blockmin(k, q, p, blk=8, interpret=True, d2_mode="vpu")
+    # Same neighbor SETS except where two candidates are within the
+    # cancellation band (none expected on these random clouds).
+    assert (np.asarray(i_mx) == np.asarray(i_vp)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(d_mx), np.asarray(d_vp),
+                               rtol=3e-3, atol=1e-3)
+
+
+def test_mxu_d2_scene_scale():
+    """30 m KITTI-scale coordinates: the cancellation-band analysis in
+    _D2_ENV's comment predicts ~5e-4 m^2 absolute d2 error; distances of
+    selected neighbors must still track the true geometry."""
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(30 * rng.rand(1, 512, 3).astype(np.float32))
+    p = jnp.asarray(30 * rng.rand(1, 2048, 3).astype(np.float32))
+    d_mx, i_mx = knn_blockmin(8, q, p, blk=8, interpret=True,
+                              d2_mode="mxu", extract="bitonic")
+    qn, pn = np.asarray(q), np.asarray(p)
+    for n in range(0, 512, 29):
+        true = np.sqrt(
+            ((qn[0, n] - pn[0, np.asarray(i_mx[0, n])]) ** 2).sum(-1)
+        )
+        np.testing.assert_allclose(np.asarray(d_mx[0, n]), true,
+                                   rtol=3e-3, atol=2e-3)
+
+
 def test_ball_extract_equivalence(clouds):
     """Ball mode: identical in-radius prefixes; past the in-radius count
     the schemes differ only in WHICH >=_BALL_INVALID sentinel fills."""

@@ -49,7 +49,9 @@ def main():
         q = jnp.asarray(np.stack([scene(N) for _ in range(B)]))
         p = jnp.asarray(np.stack([scene(M) for _ in range(B)]))
 
-        # Correctness first: on-chip bitwise equality of the two schemes.
+        # Correctness first: on-chip bitwise equality of the two
+        # extraction schemes (same d2 path => same packed keys), and
+        # top-1 agreement of the MXU d2 arm.
         d_it, i_it = jax.jit(
             lambda qq, pp: knn_blockmin(k, qq, pp, extract="iter")
         )(q, p)
@@ -57,20 +59,29 @@ def main():
             lambda qq, pp: knn_blockmin(k, qq, pp, extract="bitonic")
         )(q, p)
         same = bool(jnp.all(i_it == i_bt)) and bool(jnp.all(d_it == d_bt))
+        row = {"shape": f"B{B} N{N} M{M} k{k}", "match": same}
+        try:
+            _, i_mx = jax.jit(
+                lambda qq, pp: knn_blockmin(k, qq, pp, d2_mode="mxu")
+            )(q, p)
+            row["mxu_top1_match"] = bool(jnp.all(i_it[..., 0] == i_mx[..., 0]))
+            row["mxu_topk_agree"] = float(jnp.mean(i_it == i_mx))
+        except Exception as e:  # Mosaic may reject the K=3 dot lowering
+            row["mxu_error"] = repr(e)[:200]
 
-        t_it = make_timed(
-            lambda pp, qq: knn_blockmin(k, qq, pp, extract="iter")[0],
-            reps=10,
-        )(p, q)
-        t_bt = make_timed(
-            lambda pp, qq: knn_blockmin(k, qq, pp, extract="bitonic")[0],
-            reps=10,
-        )(p, q)
-        row = {
-            "shape": f"B{B} N{N} M{M} k{k}", "match": same,
-            "iter_ms": t_it * 1e3, "bitonic_ms": t_bt * 1e3,
-            "speedup": t_it / t_bt,
-        }
+        base = None
+        for ext in ("iter", "bitonic"):
+            for d2m in ("vpu", "mxu"):
+                if "mxu_error" in row and d2m == "mxu":
+                    continue
+                t = make_timed(
+                    lambda pp, qq, ext=ext, d2m=d2m: knn_blockmin(
+                        k, qq, pp, extract=ext, d2_mode=d2m)[0],
+                    reps=10,
+                )(p, q)
+                row[f"{ext}_{d2m}_ms"] = t * 1e3
+                base = base if base is not None else t
+                row[f"speedup_{ext}_{d2m}"] = base / t
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -89,6 +100,11 @@ def main():
            "bitonic_ms": t_bt * 1e3, "speedup": t_it / t_bt}
     results.append(row)
     print(json.dumps(row), flush=True)
+
+    # Decision rules: flip OGC_PALLAS_KNN_EXTRACT default if bitonic wins
+    # >= 1.10x everywhere with bitwise match; flip OGC_PALLAS_KNN_D2 only
+    # if mxu wins >= 1.10x on top AND top-1 matches (quality ablation
+    # before any default change).
 
     print(json.dumps({"bench": "knn_extract_ab", "results": results}))
 
