@@ -122,6 +122,39 @@ def main():
     )(fvars, tuple(pc1_l_glob[1:]), tuple(pc2_l_glob), f1g, f2g,
       pc1_l_glob[0]) * 1e3
 
+    # Substages of the corr chain: the coarsest-level kernelized softmax
+    # (corr_mat + soft-argmax flow0) vs the FP/SA decoder walk back up.
+    def corr_mat(v, p1, p2, f1, f2):
+        def go(m, p1, p2, f1, f2):
+            corr = m._calc_corr_mat(p1, p2, f1, f2)
+            row_sum = jnp.sum(corr, -1, keepdims=True)
+            return jnp.einsum("bnm,bmd->bnd", corr, p2) / (row_sum + 1e-8) - p1
+        return flownet.apply(v, p1, p2, f1, f2, method=go)
+    res["corr_mat"] = make_timed(
+        lambda v, p2, f1, f2, p1: corr_mat(v, p1, p2, f1, f2)
+    )(fvars, pc2_l_glob[-1], f1g, f2g, pc1_l_glob[-1]) * 1e3
+
+    def corr_decode(v, g1_rest, feats, p1):
+        gl1 = [p1] + list(g1_rest)
+        def go(m, pc1_l_glob, feats):
+            level = len(pc1_l_glob) - 1
+            for i, sa in enumerate(m.corr_sas):
+                feats = m.corr_fps[i](pc1_l_glob[level - 1],
+                                      pc1_l_glob[level], None, feats,
+                                      train=False, bn_momentum=0.1)
+                _, feats, _ = sa(pc1_l_glob[level - 1], feats, train=False,
+                                 bn_momentum=0.1)
+                level -= 1
+            return m.corr_fps[-1](pc1_l_glob[level - 1], pc1_l_glob[level],
+                                  None, feats, train=False, bn_momentum=0.1)
+        return flownet.apply(v, gl1, feats, method=go)
+    flow0_coarse = jax.jit(
+        lambda v, p2, f1, f2, p1: corr_mat(v, p1, p2, f1, f2)
+    )(fvars, pc2_l_glob[-1], f1g, f2g, pc1_l_glob[-1])
+    res["corr_decode"] = make_timed(
+        lambda v, g1r, f, p1: corr_decode(v, g1r, f, p1)
+    )(fvars, tuple(pc1_l_glob[1:]), flow0_coarse, pc1_l_glob[0]) * 1e3
+
     res["lr_knn"] = make_timed(
         lambda v, pc: ops.knn(32, pc, pc)[0])(fvars, pc1_l_loc[2]) * 1e3
 
