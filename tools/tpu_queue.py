@@ -51,13 +51,13 @@ DEFAULT = ("pool,bench,benchoff,knnext,knnab,benchtrain,prefixprof,seg,"
            "flowbf16,vote,abl8k_nb,abl8k_sg,abl8k_dt")
 
 
-def probe(timeout=120):
+def probe(timeout=300):
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
             "print(float((x @ x).sum()))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
                            capture_output=True, text=True, cwd=REPO)
-        return r.returncode == 0 and "64.0" in r.stdout
+        return r.returncode == 0 and "512.0" in r.stdout
     except subprocess.TimeoutExpired:
         return False
 
@@ -73,7 +73,12 @@ def main():
     os.makedirs(LOGDIR, exist_ok=True)
 
     print("probing TPU relay ...", flush=True)
-    if not probe():
+    for attempt in range(3):
+        if probe():
+            break
+        print(f"probe attempt {attempt + 1} failed", flush=True)
+        time.sleep(60)
+    else:
         print("PROBE FAILED: relay down", flush=True)
         sys.exit(3)
     print("probe ok", flush=True)
