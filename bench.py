@@ -48,8 +48,10 @@ def make_timed(fn, reps: int = 10):
         pc = args[-1]
 
         def body(carry, _):
+            # float32 carry regardless of fn's dtype (int index outputs,
+            # bf16 features) — lax.scan requires a fixed carry type.
             out = jnp.sum(fn(*args[:-1], pc + carry * 1e-12))
-            return out, None
+            return out.astype(jnp.float32), None
 
         final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return final

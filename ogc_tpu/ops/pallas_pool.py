@@ -53,15 +53,22 @@ def pool_neighbors(x: Array, mean: bool = False,
     is never materialized.  Exact math.  Training (autodiff needs a VJP),
     CPU, and unsupported shapes keep the jnp chain.
 
-    OGC_PALLAS_POOL=off disables the kernel (A/B experiments; read at
+    OGC_PALLAS_POOL=on enables the kernel (A/B experiments; read at
     trace time, set before process start like OGC_PALLAS_SCATTER).
+    DEFAULT OFF: the on-chip A/B (2026-08-18, BENCHLOG "Rowgroup pool
+    kernel") measured the kernel a net ~23% regression on the full
+    forward bench (72.6 vs 94.6 scenes/s) despite the saved layout
+    copies — the per-group grid serializes work the XLA chain overlaps.
+    Numerics are validated on-chip (tpu_e2e_smoke --mode pool_kernel);
+    the kernel stays available for shapes/future toolchains where the
+    copy dominates.
     """
     import os
 
     from ogc_tpu.ops.core import pallas_available
 
     b, m, s, c = x.shape
-    mode = os.environ.get("OGC_PALLAS_POOL", "on")
+    mode = os.environ.get("OGC_PALLAS_POOL", "off")
     on_tpu = pallas_available()  # single-device TPU; multi-chip SPMD
     # cannot lower Mosaic calls (see pallas_available)
     if (
