@@ -333,7 +333,13 @@ def _knn_pruned_kernel(k, blk, idx_bits, n_cand, cb, cand_ref, q_ref, p_ref,
     tile (cand_ref, SMEM scalars), dynamic-slicing each from the sorted
     cloud.  Keys carry the ORIGINAL point index (perm_ref payload), so
     outputs need no remap gather and in-band ties resolve by lower original
-    index — the reference tie rule (interpolate_gpu.cu:30-46)."""
+    index — the reference tie rule (interpolate_gpu.cu:30-46).
+
+    cand_ref holds the WHOLE (n_tiles, n_cand) candidate table for this
+    batch element (Mosaic requires the last two block dims to span the
+    array or be 8/128-multiples — a (1, 1, n_cand) block does not lower);
+    the kernel picks its tile's row by program_id."""
+    qi = pl.program_id(1)
     qx = q_ref[0, 0:1, :]            # (1, QT) rows
     qy = q_ref[0, 1:2, :]
     qz = q_ref[0, 2:3, :]
@@ -361,14 +367,14 @@ def _knn_pruned_kernel(k, blk, idx_bits, n_cand, cb, cand_ref, q_ref, p_ref,
     # because its input order is FPS/random.  blk == 1 packs every
     # candidate as its own key (no thinning).
     def cstep(ch, _):
-        d2, ids = _block_d2_ids(cand_ref[0, 0, ch * blk])
+        d2, ids = _block_d2_ids(cand_ref[0, qi, ch * blk])
         if blk == 1:
             keys = (pltpu.bitcast(d2, jnp.int32) & ~mask_low) | ids
         else:
             vmin = d2
             amin = jnp.broadcast_to(ids, d2.shape)
             for i in range(1, blk):
-                d2i, idsi = _block_d2_ids(cand_ref[0, 0, ch * blk + i])
+                d2i, idsi = _block_d2_ids(cand_ref[0, qi, ch * blk + i])
                 idsb = jnp.broadcast_to(idsi, d2.shape)
                 # Ties keep the LOWER ORIGINAL index (the documented
                 # contract) — candidate-block order is bound/centroid
@@ -417,7 +423,7 @@ def _knn_pruned_pallas(q_t: Array, p: Array, perm: Array, cand: Array,
         ),
         grid=(B, Np // qt),
         in_specs=[
-            pl.BlockSpec((1, 1, n_cand), lambda b, q: (b, q, 0),
+            pl.BlockSpec((1, Np // qt, n_cand), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, qt), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
