@@ -115,12 +115,41 @@ def test_flow_waymo_cli_xla_preproc(waymo_fixture, tmp_path):
     assert "Evaluation on waymo-train" in out, out[-800:]
     # Saved predictions exist and are finite full-resolution flows.
     save_dir = osp.join(root, "flow_preds/flowstep3d_gpf_bound")
-    saved = [osp.join(dp, f) for dp, _, fs in os.walk(save_dir)
-             for f in fs if f.endswith(".npy")]
+    saved = sorted(osp.join(dp, f) for dp, _, fs in os.walk(save_dir)
+                   for f in fs if f.endswith(".npy"))
     assert saved, "no predflows written"
-    arr = np.load(sorted(saved)[0])
+    arr = np.load(saved[0])
     assert arr.ndim == 2 and arr.shape[1] == 3
     assert np.isfinite(arr).all()
+    flows1 = {f: np.load(f) for f in saved}
+
+    def _metrics(stdout):
+        import ast
+
+        (line,) = [l for l in stdout.splitlines()
+                   if "Evaluation on waymo-train" in l]
+        return ast.literal_eval(line[line.index("{"):])
+
+    # --scene_batch 2: GPF / FPS / ICP / network / upsample batched over
+    # padded clouds must reproduce the per-scene metrics AND predflows.
+    out_b = _run_cli("test_flow_waymo.py", cfg_path, "--split", "train",
+                     "--test_model_iters", "2", "--bound", "--save",
+                     "--approx_knn", "--scene_batch", "2")
+    m1, mb = _metrics(out), _metrics(out_b)
+    assert m1.keys() == mb.keys()
+    for k in m1:  # batched reassociation -> tiny fp drift only
+        np.testing.assert_allclose(mb[k], m1[k], rtol=1e-5, atol=1e-6)
+    for f in saved:
+        np.testing.assert_allclose(np.load(f), flows1[f],
+                                   rtol=1e-5, atol=1e-5)
+
+    # And sharded over the virtual mesh: --scene_batch 2 --dp 0.
+    out_dp = _run_cli("test_flow_waymo.py", cfg_path, "--split", "train",
+                      "--test_model_iters", "2", "--bound", "--approx_knn",
+                      "--scene_batch", "2", "--dp", "0")
+    mdp = _metrics(out_dp)
+    for k in m1:
+        np.testing.assert_allclose(mdp[k], m1[k], rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.slow
