@@ -172,3 +172,69 @@ def test_gpf_xla_retry_ladder():
     )
     agree = (out == ref).mean()
     assert agree > 0.99, agree
+
+
+def test_gpf_xla_scene_batched_matches_per_scene():
+    """test_flow_waymo._batched_eval Phase A equality: batching clouds at a
+    GROUP bucket with an unconditional FPS fit mask must reproduce the
+    per-scene XLA path (per-cloud bucket; FPS only when N > n_point_gpf) —
+    duplicate-padding rows never win an FPS tie and duplicate fit-mask
+    marks are ANDed away by `valid` inside ground_plane_fitting_xla."""
+    import jax.numpy as jnp
+
+    from ogc_tpu import ops
+    from ogc_tpu.utils.gpf import ground_plane_fitting_xla
+
+    rng = np.random.RandomState(11)
+
+    def scene(n_ground, n_obj):
+        g = np.stack(
+            [rng.rand(n_ground) * 40, 0.05 * rng.randn(n_ground),
+             rng.rand(n_ground) * 40], 1)
+        o = np.stack(
+            [rng.rand(n_obj) * 40, 1.5 + rng.rand(n_obj) * 2,
+             rng.rand(n_obj) * 40], 1)
+        return np.concatenate([g, o], 0).astype(np.float32)
+
+    n_point_gpf, n_lpr = 96, 20
+    # One cloud above the FPS threshold, one below (the two per-scene
+    # branches), padded to different buckets.
+    s_big, s_small = scene(140, 40), scene(50, 14)  # 180 > 96 > 64
+    bucket = 256  # group bucket (per-scene buckets would be 192 / 64)
+
+    def per_scene(s):
+        Nb = max(128, -(-len(s) // 128) * 128)  # per-cloud bucket
+        pcp = np.concatenate(
+            [s, np.repeat(s[:1], Nb - len(s), axis=0)], 0)
+        valid = np.zeros(Nb, bool)
+        valid[:len(s)] = True
+        fit_valid = None
+        if len(s) > n_point_gpf:
+            fps_idx = np.asarray(ops.furthest_point_sample(
+                jnp.asarray(pcp[None]), n_point_gpf))[0]
+            fv = np.zeros(Nb, bool)
+            fv[fps_idx] = True
+            fit_valid = jnp.asarray(fv[None])
+        return np.asarray(ground_plane_fitting_xla(
+            jnp.asarray(pcp[None]), valid=jnp.asarray(valid[None]),
+            fit_valid=fit_valid, n_lpr=n_lpr,
+        ))[0, :len(s)]
+
+    # Batched: group bucket, unconditional FPS fit mask (Phase A).
+    clouds = [s_big, s_small]
+    P = np.stack([np.concatenate(
+        [c, np.broadcast_to(c[:1], (bucket - len(c), 3))], 0)
+        for c in clouds])
+    V = np.zeros((2, bucket), bool)
+    for i, c in enumerate(clouds):
+        V[i, :len(c)] = True
+    fi = np.asarray(ops.furthest_point_sample(jnp.asarray(P), n_point_gpf))
+    FV = np.zeros((2, bucket), bool)
+    np.put_along_axis(FV, fi, True, axis=1)
+    G = np.asarray(ground_plane_fitting_xla(
+        jnp.asarray(P), valid=jnp.asarray(V), fit_valid=jnp.asarray(FV),
+        n_lpr=n_lpr,
+    ))
+
+    for i, c in enumerate(clouds):
+        np.testing.assert_array_equal(G[i, :len(c)], per_scene(c), str(i))
