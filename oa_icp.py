@@ -115,7 +115,11 @@ def main():
         test_set_predflow = TestDataset(**common, predflow_path=predflow_path)
     n_frame = len(view_sels)
     batch_size = args.test_batch_size
-    icp_iter = ICP_ITERS[args.round]
+    if args.round < 1:
+        parser.error("--round must be >= 1 (got %d)" % args.round)
+    # Rounds beyond the reference's schedule table (oa_icp.py:175-176)
+    # clamp to the final entry (3 iterations) instead of raising.
+    icp_iter = ICP_ITERS.get(args.round, ICP_ITERS[max(ICP_ITERS)])
 
     if args.save:
         assert batch_size % n_frame == 0

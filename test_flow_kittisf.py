@@ -231,10 +231,11 @@ def main():
     eval_meter = AverageMeter()
 
     if args.scene_batch > 1:
-        assert not args.host_preproc, (
-            "--scene_batch requires the batched on-device ICP "
-            "(drop --host_preproc)"
-        )
+        if args.host_preproc:
+            raise SystemExit(
+                "--scene_batch requires the batched on-device ICP "
+                "(drop --host_preproc)"
+            )
         _batched_eval(args, test_set, fwd, variables, eval_meter,
                       n_point, n_point_icp, max_icp_iters, decentralize,
                       epe_norm_thresh,

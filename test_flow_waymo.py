@@ -149,22 +149,36 @@ def _batched_eval(args, test_set, fwd, variables, meters, n_point,
                 s["rot"] = pose2[:3, :3].T @ pose1[:3, :3]
                 s["transl"] = pose2[:3, :3].T @ (pose1[:3, 3] - pose2[:3, 3])
         else:
-            bucket_i = -(-max(max(len(s["pc1"]), len(s["pc2"]))
-                              for s in scenes) // 4096) * 4096
-            C = np.stack([
-                np.concatenate((s["pc1"], s["pc2"]), 0).mean(0)
-                if decentralize else np.zeros(3, np.float64)
-                for s in scenes])[:, None, :]
-            P1 = np.stack([_pad_rows(s["pc1"], bucket_i) for s in scenes])
-            P2 = np.stack([_pad_rows(s["pc2"], bucket_i) for s in scenes])
-            P1 = _pad_batch((P1 - C).astype(np.float32), K)
-            P2 = _pad_batch((P2 - C).astype(np.float32), K)
-            i1, i2 = fps_icp(P1), fps_icp(P2)
-            pc1_fps = np.take_along_axis(P1, i1[..., None], 1)
-            pc2_fps = np.take_along_axis(P2, i2[..., None], 1)
-            T = icp_fn(pc1_fps, pc2_fps)[:S]
-            for t, s in enumerate(scenes):
-                s["rot"], s["transl"] = T[t, :3, :3], T[t, :3, 3]
+            # Scenes left empty by ground removal can't drive ICP (and
+            # _pad_rows can't broadcast from an empty cloud): route them
+            # to the ego-only identity path (zero residual flow), like
+            # the Phase C net_scenes filter.
+            icp_scenes = []
+            for s in scenes:
+                if min(len(s["pc1"]), len(s["pc2"])) > 0:
+                    icp_scenes.append(s)
+                else:
+                    s["rot"] = np.eye(3, dtype=np.float64)
+                    s["transl"] = np.zeros(3, dtype=np.float64)
+            if icp_scenes:
+                bucket_i = -(-max(max(len(s["pc1"]), len(s["pc2"]))
+                                  for s in icp_scenes) // 4096) * 4096
+                C = np.stack([
+                    np.concatenate((s["pc1"], s["pc2"]), 0).mean(0)
+                    if decentralize else np.zeros(3, np.float64)
+                    for s in icp_scenes])[:, None, :]
+                P1 = np.stack([_pad_rows(s["pc1"], bucket_i)
+                               for s in icp_scenes])
+                P2 = np.stack([_pad_rows(s["pc2"], bucket_i)
+                               for s in icp_scenes])
+                P1 = _pad_batch((P1 - C).astype(np.float32), K)
+                P2 = _pad_batch((P2 - C).astype(np.float32), K)
+                i1, i2 = fps_icp(P1), fps_icp(P2)
+                pc1_fps = np.take_along_axis(P1, i1[..., None], 1)
+                pc2_fps = np.take_along_axis(P2, i2[..., None], 1)
+                T = icp_fn(pc1_fps, pc2_fps)[:len(icp_scenes)]
+                for t, s in enumerate(icp_scenes):
+                    s["rot"], s["transl"] = T[t, :3, :3], T[t, :3, 3]
 
         # ---- Phase C: FOV selections (host) + batched network residual.
         net_scenes = []
@@ -343,10 +357,11 @@ def main():
     meter, meter_g, meter_ng = AverageMeter(), AverageMeter(), AverageMeter()
 
     if args.scene_batch > 1:
-        assert not args.host_preproc, (
-            "--scene_batch requires the batched on-device GPF/ICP "
-            "(drop --host_preproc)"
-        )
+        if args.host_preproc:
+            raise SystemExit(
+                "--scene_batch requires the batched on-device GPF/ICP "
+                "(drop --host_preproc)"
+            )
         _batched_eval(args, test_set, fwd, variables,
                       (meter, meter_g, meter_ng), n_point, data_root,
                       save_dir if args.save else None)

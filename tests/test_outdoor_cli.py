@@ -153,6 +153,73 @@ def test_flow_waymo_cli_xla_preproc(waymo_fixture, tmp_path):
 
 
 @pytest.mark.slow
+def test_flow_waymo_batched_empty_post_gpf_scene(tmp_path):
+    """A scene whose points are entirely ground (empty post-GPF cloud) must
+    not abort its --scene_batch group: it routes to the ego-only identity
+    path (zero residual flow) while the rest of the group proceeds."""
+    root = str(tmp_path / "waymo_empty")
+    rng = np.random.RandomState(1)
+    n_frames, n_ground, n_obj = 3, 400, 300
+    d = osp.join(root, "data", "seq_a")
+    os.makedirs(d, exist_ok=True)
+    for t in range(n_frames):
+        ground = np.stack(
+            [40 * rng.rand(n_ground) - 20, 0.02 * rng.randn(n_ground),
+             30 * rng.rand(n_ground) + 3], 1)
+        if t == 2:  # frame 2: all-ground -> pair (2,1) has empty pc1
+            pc = ground.astype(np.float32)
+            segm = np.zeros(n_ground, np.int32)
+        else:
+            obj = np.stack(
+                [20 * rng.rand(n_obj) - 10, 1.0 + 1.5 * rng.rand(n_obj),
+                 25 * rng.rand(n_obj) + 4], 1)
+            pc = np.concatenate([ground, obj], 0).astype(np.float32)
+            segm = np.concatenate(
+                [np.zeros(n_ground), rng.randint(1, 3, n_obj)]
+            ).astype(np.int32)
+        n = pc.shape[0]
+        np.save(osp.join(d, "pc_%04d.npy" % t), pc)
+        np.save(osp.join(d, "segm_%04d.npy" % t), segm)
+        np.save(osp.join(d, "semantic_segm_%04d.npy" % t), segm)
+        np.save(osp.join(d, "pose_%04d.npy" % t), np.eye(4))
+        if t > 0:
+            np.save(osp.join(d, "flow_%04d_%04d.npy" % (t, t - 1)),
+                    0.05 * rng.randn(n, 3).astype(np.float32))
+    mapping = osp.join(root, "train.txt")
+    with open(mapping, "w") as f:
+        f.write("seq_a.tfrecord")
+
+    npoint = 128
+    save_path = str(tmp_path / "ckpt" / "flow_waymo")
+    _save_flow_ckpt(save_path, npoint)
+    cfg = {
+        "dataset": "waymo",
+        "save_path": save_path,
+        "data": {"root": root, "mapping_path": mapping},
+        "flownet": _flownet_cfg(npoint),
+    }
+    cfg_path = str(tmp_path / "waymo.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump(cfg, f)
+    # Both pairs land in one K=2 group; pair (2,1) has an empty post-GPF
+    # frame-1 cloud.
+    out = _run_cli("test_flow_waymo.py", cfg_path, "--split", "train",
+                   "--test_model_iters", "2", "--bound", "--save",
+                   "--approx_knn", "--scene_batch", "2")
+    assert "Evaluation on waymo-train" in out, out[-800:]
+    save_dir = osp.join(root, "flow_preds/flowstep3d_gpf_bound")
+    saved = sorted(osp.join(dp, f) for dp, _, fs in os.walk(save_dir)
+                   for f in fs if f.endswith(".npy"))
+    assert len(saved) == 2, saved
+    for f in saved:
+        arr = np.load(f)
+        assert np.isfinite(arr).all()
+    # The all-ground scene's prediction is the ego-only zero flow.
+    empty = np.load(osp.join(save_dir, "seq_a", "flow_0002_0001.npy"))
+    np.testing.assert_array_equal(empty, np.zeros_like(empty))
+
+
+@pytest.mark.slow
 def test_flow_kittisf_cli_xla_preproc(tmp_path):
     base = str(tmp_path / "kittisf")
     # Full-resolution layout (downsampled=False): processed/<id>/{pc1, pc2,

@@ -80,6 +80,43 @@ def test_waymo_select_frame(waymo_root, tmp_path):
     assert ds.data_ids[0] == ("seq_a", 1, 0)
 
 
+def test_waymo_shipped_protocol_splits(waymo_root):
+    """The shipped Waymo protocol split JSONs (reference
+    data_prepare/waymo/splits/*.json) must exist and resolve through
+    WaymoOpenDataset's select_frame loader (ogc_tpu/data/waymo.py)."""
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    splits = osp.join(repo, "data_prepare", "waymo", "splits")
+    root, mapping = waymo_root
+    # Two-frame (unsup) splits hold (seq, t, t-1) backward pairs; the sup
+    # splits hold single-frame (seq, t) ids for WaymoOpenSingleFrameDataset.
+    for name, n in {"train_unsup.json": 6187, "val_unsup.json": 1393}.items():
+        path = osp.join(splits, name)
+        assert osp.isfile(path), "missing shipped split %s" % name
+        ds = WaymoOpenDataset(
+            data_root=root, mapping_path=mapping, downsampled=True,
+            select_frame=path,
+        )
+        assert len(ds) == n
+        seq, v1, v2 = ds.data_ids[0]
+        assert seq.startswith("segment-") and v2 == v1 - 1  # backward pairs
+    for name, n in {"train_sup.json": 31605, "val_sup.json": 7998}.items():
+        path = osp.join(splits, name)
+        assert osp.isfile(path), "missing shipped split %s" % name
+        ds = WaymoOpenSingleFrameDataset(
+            data_root=root, mapping_path=mapping, downsampled=True,
+            select_frame=path,
+        )
+        assert len(ds) == n
+        seq, t = ds.data_ids[0]
+        assert seq.startswith("segment-") and t >= 0
+    # The raw-layout yaml data constants must be present too.
+    import yaml
+    with open(osp.join(repo, "data_prepare", "waymo", "waymo_dataset.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["SAMPLED_INTERVAL"] == {"train": 20, "test": 1}
+    assert cfg["DATA_SPLIT"] == {"train": "train", "test": "val"}
+
+
 def test_waymo_save_predflow(waymo_root, tmp_path):
     root, mapping = waymo_root
     ds = WaymoOpenDataset(data_root=root, mapping_path=mapping, downsampled=True)
