@@ -17,15 +17,22 @@ PyTorch+CUDA stack (REFERENCE_A100_SCENES_PER_SEC); the driver's target is
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 # Estimated scenes/sec of the reference stack (segnet fwd + flownet fwd at
-# 8192 pts) on one A100.  The reference repo ships no throughput numbers
-# (BASELINE.md); this figure is a conservative estimate from the op mix
-# (FPS + brute-force KNN + SA/FP stacks + 4-iter GRU flow refinement).
-REFERENCE_A100_SCENES_PER_SEC = 40.0
+# 8192 pts, 5 refinement iters) on one A100.  The reference repo ships no
+# throughput numbers (BASELINE.md); this figure is DERIVED, not assumed:
+# tools/derive_baseline.py measures the unmodified reference stack (via the
+# CPU shim) — per-forward operator counts, matmul/conv FLOPs, analytic
+# custom-op costs, and eager intermediate-materialization traffic — and
+# applies a per-resource A100 roofline with generous-to-the-reference
+# efficiencies (i.e. this is an UPPER bound on the reference's speed, so
+# vs_baseline is conservative).  Full derivation: BASELINE.md §"A100
+# baseline derivation"; constants: tools/baseline_derivation.json.
+REFERENCE_A100_SCENES_PER_SEC = 56.8
 
 N_POINTS = 8192
 BATCH = 8
@@ -79,28 +86,25 @@ if __name__ == "__main__":
     except Exception:
         pass
 
+    from ogc_tpu import ops
     from ogc_tpu.models.segnet import MaskFormer3D
+    from ogc_tpu.models.flownet import FlowStep3D
     from ogc_tpu.nn.layers import set_compute_dtype
-
-    # bf16 activations for the bandwidth-bound grouped MLPs (params and all
-    # normalization statistics stay f32) — the standard TPU inference setup.
-    set_compute_dtype(jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     pc = jnp.asarray(30.0 * rng.rand(BATCH, N_POINTS, 3).astype(np.float32))
 
-    segnet = MaskFormer3D(
-        n_slot=10, n_point=N_POINTS, arch="kitti",
-        n_transformer_layer=2, transformer_embed_dim=128,
-    )
-    seg_params = jax.jit(segnet.init)(jax.random.PRNGKey(0), pc[:1], pc[:1])
-    t_seg = make_timed(lambda p, x: segnet.apply(p, x, x))(seg_params, pc)
+    def measure():
+        segnet = MaskFormer3D(
+            n_slot=10, n_point=N_POINTS, arch="kitti",
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+        seg_params = jax.jit(segnet.init)(
+            jax.random.PRNGKey(0), pc[:1], pc[:1])
+        t_seg = make_timed(lambda p, x: segnet.apply(p, x, x))(seg_params, pc)
 
-    t_flow = 0.0
-    try:
-        from ogc_tpu.models.flownet import FlowStep3D
-
-        # KITTI protocol hyperparameters (config/flow/kittisf/kittisf_unsup.yaml).
+        # KITTI protocol hyperparameters
+        # (config/flow/kittisf/kittisf_unsup.yaml).
         flownet = FlowStep3D(
             npoint=N_POINTS, arch="kitti", k_decay_fact=0.5,
             loc_flow_nn=16, loc_flow_rad=1.5,
@@ -111,19 +115,40 @@ if __name__ == "__main__":
         t_flow = make_timed(
             lambda v, a, b: flownet.apply(v, a, b, a, b, 5, train=False)[-1]
         )(fvars, pc, pc)
-    except ImportError:
-        pass  # flownet not built yet; seg-only benchmark
+        return BATCH / (t_seg + t_flow)
 
-    per_scene = (t_seg + t_flow) / BATCH
-    scenes_per_sec = 1.0 / per_scene
+    # Fast mode (headline): bf16 activations for the bandwidth-bound grouped
+    # MLPs (params and normalization statistics stay f32) + approximate KNN.
+    # Accuracy-neutrality of both deviations: PARITY.md 5-seed ablations
+    # (2048 and 8192 pts).
+    set_compute_dtype(jnp.bfloat16)
+    ops.set_exact_neighbors(False)
+    fast_sps = measure()
+
+    # Parity mode: exact neighbor search + f32 compute — the configuration
+    # every eval CLI defaults to (test_seg.py --approx_knn off).  Reported
+    # alongside so the two configurations are never conflated (VERDICT r2).
+    set_compute_dtype(None)
+    ops.set_exact_neighbors(True)
+    parity_sps = measure()
+
+    print(
+        f"# fast mode (bf16 + approx-KNN): {fast_sps:.2f} scenes/s | "
+        f"parity mode (f32 + exact-KNN): {parity_sps:.2f} scenes/s",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
                 "metric": "8192pt_scenes_per_sec_per_chip_seg+flow_fwd",
-                "value": round(scenes_per_sec, 3),
+                "value": round(fast_sps, 3),
                 "unit": "scenes/s",
                 "vs_baseline": round(
-                    scenes_per_sec / REFERENCE_A100_SCENES_PER_SEC, 3
+                    fast_sps / REFERENCE_A100_SCENES_PER_SEC, 3
+                ),
+                "parity_mode_value": round(parity_sps, 3),
+                "parity_mode_vs_baseline": round(
+                    parity_sps / REFERENCE_A100_SCENES_PER_SEC, 3
                 ),
             }
         )

@@ -21,9 +21,15 @@ import time
 
 import numpy as np
 
-# Conservative estimate of the reference train_seg it/s on A100 at B=8,
-# N=8192 (fwd+bwd+step; the reference repo ships no numbers - BASELINE.md).
-REFERENCE_A100_TRAIN_SCENES_PER_SEC = 25.0
+# Derived A100 estimate of the reference train_seg step (fwd + OGC loss +
+# bwd + Adam) at N=8192: tools/derive_baseline.py --train measures the
+# unmodified reference stack (6,717 aten ops, 26.2 GFLOP matmul/conv,
+# 21.0 GB eager traffic per scene) and applies a generous per-resource A100
+# roofline (HBM-bound: 21 GB / 1.09 TB/s = 19.3 ms/scene).  Full
+# derivation: BASELINE.md; constants: tools/baseline_derivation_train.json.
+# Generosity means this is an UPPER bound on the reference's speed, so
+# vs_baseline is conservative.
+REFERENCE_A100_TRAIN_SCENES_PER_SEC = 51.9
 
 BATCH = 8
 N_POINTS = 8192
@@ -135,7 +141,8 @@ def main():
     # a variant that leaves params unchanged is loop-invariant inside the
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
-    def ablated_step(weights, symmetric=False, monitors=True):
+    def ablated_step(weights, symmetric=False, monitors=True,
+                     graph="mutual"):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -143,7 +150,7 @@ def main():
             knn_k=loss_cfg.knn_k, knn_radius=loss_cfg.knn_radius,
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
             symmetric_smooth_grad=symmetric,
-            monitor_terms=monitors,
+            monitor_terms=monitors, smooth_graph=graph,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -160,16 +167,24 @@ def main():
 
         return step
 
-    for name, w, sym, mon in [
-        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True),
-        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True),
-        ("+ smooth (knn32 + ballq64)", (0.0, 0.1, 0.0), False, True),
-        ("full w/ symmetric_smooth_grad", (10.0, 0.1, 0.1), True, True),
-        # Production-fast path: scatter-free smooth backward + static skip
-        # of monitor-only computations (no scalar logging).
-        ("full, symmetric + monitor_terms off", (10.0, 0.1, 0.1), True, False),
+    for name, w, sym, mon, graph in [
+        ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
+         "mutual"),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual"),
+        ("+ smooth mutual graph (default: exact scatter-free grad)",
+         (0.0, 0.1, 0.0), False, True, "mutual"),
+        ("+ smooth reference graph (autodiff scatter-add)",
+         (0.0, 0.1, 0.0), False, True, "reference"),
+        ("full, reference graph (parity mode)",
+         (10.0, 0.1, 0.1), False, True, "reference"),
+        ("full, reference graph + symmetric_smooth_grad (approx)",
+         (10.0, 0.1, 0.1), True, True, "reference"),
+        # Production-fast path: mutual graph + static skip of monitor-only
+        # computations (no scalar logging).
+        ("full, mutual + monitor_terms off", (10.0, 0.1, 0.1), False, False,
+         "mutual"),
     ]:
-        t, _ = timed_scan(ablated_step(w, sym, mon))(
+        t, _ = timed_scan(ablated_step(w, sym, mon, graph))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)
