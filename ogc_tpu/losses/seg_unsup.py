@@ -157,6 +157,92 @@ def _sym_grad_bwd(loss_norm, res, g):
 _sym_grad_discrepancy.defvjp(_sym_grad_fwd, _sym_grad_bwd)
 
 
+def mutual_keep_mask(idx: Array) -> Array:
+    """Symmetrize a neighbor table into an EXACTLY symmetric edge multiset.
+
+    :param idx: (B, N, S) int32 self-neighbor table (idx[b, i, s] = j means
+        directed edge i -> j).
+    :return: (B, N, S) bool; slot (i, s) is kept iff it is the FIRST
+        occurrence of j in row i (dedup) AND the relation is mutual
+        (i appears somewhere in row j).
+
+    Property (the basis of the exact scatter-free gradient in
+    _mutual_discrepancy): for every unordered pair {i, j} with mutual
+    membership, exactly ONE slot of row i and ONE slot of row j is kept —
+    the kept directed edges form a symmetric multiset.  Self-loops (j == i,
+    e.g. the radius-clamp replacement in knn_smooth_loss or slot 0 of a
+    self-KNN) may be kept but contribute 0 to the smoothness value and
+    gradient (phi(0) = 0, phi'(0) = 0 for the L1/L2 discrepancies).
+
+    Cost: one (B*N*S)-row gather of the S-int neighbor rows + (B, N, S, S)
+    integer compares — paid once per frame in the forward; the payoff is
+    deleting the scatter-add transpose (~17 ns/row) from the backward.
+    """
+    B, N, S = idx.shape
+    # First-occurrence dedup: eq[..., s, s'] == (idx[s] == idx[s']).
+    eq = idx[..., :, None] == idx[..., None, :]  # (B, N, S, S)
+    strict_lower = jnp.tril(jnp.ones((S, S), bool), k=-1)
+    first = ~jnp.any(eq & strict_lower, axis=-1)  # (B, N, S)
+    # Mutuality: gather neighbor rows and test membership of i.
+    nbr_rows = ops.group(idx, idx)  # (B, N, S, S) — row of each neighbor j
+    i_ids = jnp.arange(N, dtype=idx.dtype)[None, :, None, None]
+    mutual = jnp.any(nbr_rows == i_ids, axis=-1)  # (B, N, S)
+    return first & mutual
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mutual_discrepancy(
+    mask: Array, idx: Array, keep: Array, loss_norm: int
+) -> Array:
+    """Neighbor discrepancy over a symmetric-by-construction edge multiset
+    with an EXACT scatter-free gradient.
+
+    loss = 1/(B*N*S) * sum_{(i,s) kept} phi(m_i - m_{idx[i,s]}) where `keep`
+    comes from mutual_keep_mask(idx).  Because the kept directed edges form
+    a symmetric multiset and phi' is odd, the exact gradient is
+        grad_q = 2/(B*N*S) * sum_{s kept} phi'(m_q - m_{idx[q,s]})
+    — no scatter-add transpose (the incoming-edge sum mirrors the outgoing
+    one).  Unlike _sym_grad_discrepancy (which applies this formula to the
+    raw asymmetric KNN/ball graph as an approximation), here it is the true
+    VJP of the forward; tests/test_seg_losses.py pins custom-vjp == autodiff.
+    Saves (diff, keep) as residuals so the backward re-gathers nothing.
+    """
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))
+    diff = mask[:, :, None, :] - nn_mask
+    if loss_norm == 1:
+        per = jnp.sum(jnp.abs(diff), axis=-1)
+    else:
+        per = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+    return jnp.mean(jnp.where(keep, per, 0.0))
+
+
+def _mutual_fwd(mask, idx, keep, loss_norm):
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx))
+    diff = mask[:, :, None, :] - nn_mask
+    if loss_norm == 1:
+        per = jnp.sum(jnp.abs(diff), axis=-1)
+    else:
+        per = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+    return jnp.mean(jnp.where(keep, per, 0.0)), (diff, keep)
+
+
+def _mutual_bwd(loss_norm, res, g):
+    diff, keep = res
+    if loss_norm == 1:
+        d = jnp.sign(diff)
+    else:
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                                    1e-24))
+        d = diff / norm
+    B, N, S, _ = diff.shape
+    d = jnp.where(keep[..., None], d, 0.0)
+    grad = (2.0 * g / (B * N * S)) * jnp.sum(d, axis=2)
+    return grad.astype(diff.dtype), None, None
+
+
+_mutual_discrepancy.defvjp(_mutual_fwd, _mutual_bwd)
+
+
 def _neighbor_discrepancy(
     mask: Array, nn_mask: Array, cross_entropy: bool, loss_norm: int
 ) -> Array:
@@ -181,14 +267,23 @@ def _neighbor_discrepancy(
 def knn_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
-    symmetric_grad: bool = False,
+    symmetric_grad: bool = False, graph: str = "reference",
 ) -> Array:
     """KNN smoothness with radius clamp (reference KnnLoss,
-    losses/seg_loss_unsup.py:101-129)."""
+    losses/seg_loss_unsup.py:101-129).
+
+    graph="mutual" replaces the raw (asymmetric) clamped-KNN edge set by
+    its mutualized subset (mutual_keep_mask) whose scatter-free gradient
+    is exact — the framework's default training configuration (see
+    OGCLossConfig.smooth_graph); "reference" keeps reference semantics.
+    """
     dist, idx = ops.knn(k, pc, pc)
     nearest = idx[..., :1]
     idx = jnp.where(dist > radius, nearest, idx)
     idx = jax.lax.stop_gradient(idx)
+    if graph == "mutual" and not cross_entropy:
+        keep = jax.lax.stop_gradient(mutual_keep_mask(idx))
+        return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
     nn_mask = ops.group(mask, idx)  # (B, N, k, K)
@@ -198,11 +293,16 @@ def knn_smooth_loss(
 def ball_q_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
-    symmetric_grad: bool = False,
+    symmetric_grad: bool = False, graph: str = "reference",
 ) -> Array:
     """Ball-query smoothness (reference BallQLoss,
-    losses/seg_loss_unsup.py:132-158)."""
+    losses/seg_loss_unsup.py:132-158).  graph="mutual" as in
+    knn_smooth_loss (also drops the reference's spurious empty-ball ->
+    point-0 edges unless point 0 reciprocates)."""
     idx = jax.lax.stop_gradient(ops.ball_query(radius, k, pc, pc))
+    if graph == "mutual" and not cross_entropy:
+        keep = jax.lax.stop_gradient(mutual_keep_mask(idx))
+        return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
     nn_mask = ops.group(mask, idx)
@@ -341,8 +441,17 @@ class OGCLossConfig:
     invariance_loss_norm: int = 2
     cross_entropy: bool = False
     # Scatter-free smooth-loss backward assuming a symmetric neighbor graph
-    # (see _sym_grad_discrepancy); opt-in, ablation in PARITY.md.
+    # (see _sym_grad_discrepancy); opt-in, ablation in PARITY.md.  Applies
+    # only when smooth_graph == "reference".
     symmetric_smooth_grad: bool = False
+    # Smooth-loss neighbor graph: "mutual" (framework default) mutualizes
+    # the KNN/ball edges (mutual_keep_mask) so the scatter-free gradient is
+    # EXACT — this deletes the scatter-add backward wall (~104 ms/step at
+    # B=8 x 8192, BENCHLOG r2) without the symmetric_smooth_grad
+    # approximation; "reference" keeps the reference's raw (asymmetric)
+    # graphs (losses/seg_loss_unsup.py:101-180) for parity runs.
+    # Accuracy ablation: PARITY.md (graph arm).
+    smooth_graph: str = "mutual"
     # When False, monitoring-only computations are skipped statically:
     # entropy/rank (reference seg_loss_unsup.py:328-330, never in backprop)
     # and any weighted term whose weight is exactly 0.0 in the config (the
@@ -375,6 +484,7 @@ class OGCLossConfig:
             # Extension keys (not in reference YAMLs): scatter-free smooth
             # backward (see _sym_grad_discrepancy) and monitor-term skipping.
             symmetric_smooth_grad=s.get("symmetric_grad", False),
+            smooth_graph=s.get("graph", "mutual"),
             monitor_terms=loss_cfg.get("monitor_terms", True),
         )
 
@@ -384,11 +494,11 @@ def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
     losses/seg_loss_unsup.py:161-180)."""
     l_knn = knn_smooth_loss(
         pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy,
-        cfg.knn_loss_norm, cfg.symmetric_smooth_grad,
+        cfg.knn_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
     )
     l_bq = ball_q_smooth_loss(
         pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
-        cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad,
+        cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
     )
     return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
 

@@ -214,6 +214,7 @@ class SegTrainer:
                 )
             return cache[aug](params, opt_state, pcs, flows, it_samples)
 
+        run.cache = cache  # exposes the per-aug jitted fns for HLO audits
         return run
 
     def _manual_eval_step(self):

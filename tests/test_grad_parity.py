@@ -80,12 +80,14 @@ def _loss_cfg():
     from ogc_tpu.losses.seg_unsup import OGCLossConfig
 
     # config/seg/sapien/sapien_unsup.yaml loss params, start_steps ungated.
+    # Reference-semantics smooth graph: the parity oracle is the reference
+    # stack, so the framework-default mutual graph is pinned off here.
     return OGCLossConfig(
         weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
         dynamic_loss_norm=2, smooth_w_knn=3.0, smooth_w_ball_q=1.0,
         knn_k=8, knn_radius=0.1, knn_loss_norm=1,
         ball_q_k=16, ball_q_radius=0.2, ball_q_loss_norm=1,
-        invariance_loss_norm=2,
+        invariance_loss_norm=2, smooth_graph="reference",
     )
 
 

@@ -218,6 +218,107 @@ def test_symmetric_smooth_grad_exact_on_symmetric_graph():
     assert cos > 0.9, cos
 
 
+def test_mutual_keep_mask_is_exactly_symmetric():
+    """mutual_keep_mask must produce a symmetric directed-edge multiset with
+    at most one kept copy per direction, on REAL knn-clamped and ball-query
+    graphs (the basis of _mutual_discrepancy's exact scatter-free VJP)."""
+    from ogc_tpu import ops as _ops
+    from ogc_tpu.losses.seg_unsup import mutual_keep_mask
+
+    rng = np.random.RandomState(3)
+    B, N = 2, 96
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+
+    dist, idx_knn = _ops.knn(6, pc, pc, exact=True)
+    idx_knn = jnp.where(dist > 0.25, idx_knn[..., :1], idx_knn)
+    idx_bq = _ops.ball_query(0.3, 8, pc, pc, exact=True)
+
+    for idx in (idx_knn, idx_bq):
+        keep = np.asarray(mutual_keep_mask(idx))
+        idx = np.asarray(idx)
+        for b in range(B):
+            A = np.zeros((N, N), np.int64)  # kept directed-edge counts
+            for i in range(N):
+                seen = set()
+                for s in range(idx.shape[-1]):
+                    j = int(idx[b, i, s])
+                    # kept slots must be first occurrences
+                    if keep[b, i, s]:
+                        assert j not in seen
+                        A[i, j] += 1
+                    seen.add(j)
+            np.fill_diagonal(A, 0)  # self-loops contribute 0 anyway
+            assert A.max() <= 1
+            np.testing.assert_array_equal(A, A.T)
+            # sanity: the graphs actually have edges (non-trivial test)
+            assert A.sum() > N
+
+
+def test_mutual_discrepancy_grad_is_exact():
+    """The custom scatter-free VJP of _mutual_discrepancy must equal plain
+    autodiff of the SAME forward — exact, not approximate (contrast with
+    _sym_grad_discrepancy's documented approximation)."""
+    from ogc_tpu import ops as _ops
+    from ogc_tpu.losses.seg_unsup import (
+        _mutual_discrepancy,
+        mutual_keep_mask,
+    )
+
+    rng = np.random.RandomState(4)
+    B, N, K = 2, 80, 7
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    mask = jax.nn.softmax(jnp.asarray(rng.randn(B, N, K).astype(np.float32)),
+                          -1)
+
+    for maker, norm in (
+        (lambda: _ops.knn(5, pc, pc, exact=True)[1], 1),
+        (lambda: _ops.ball_query(0.3, 8, pc, pc, exact=True), 1),
+        (lambda: _ops.knn(5, pc, pc, exact=True)[1], 2),
+    ):
+        idx = jax.lax.stop_gradient(maker())
+        keep = jax.lax.stop_gradient(mutual_keep_mask(idx))
+
+        def plain(m):
+            nn = _ops.group(m, idx)
+            diff = m[:, :, None, :] - nn
+            if norm == 1:
+                per = jnp.sum(jnp.abs(diff), axis=-1)
+            else:
+                per = jnp.sqrt(
+                    jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+            return jnp.mean(jnp.where(keep, per, 0.0))
+
+        def custom(m):
+            return _mutual_discrepancy(m, idx, keep, norm)
+
+        np.testing.assert_allclose(float(plain(mask)), float(custom(mask)),
+                                   rtol=1e-6)
+        g_plain = np.asarray(jax.grad(plain)(mask))
+        g_custom = np.asarray(jax.grad(custom)(mask))
+        np.testing.assert_allclose(g_custom, g_plain, rtol=1e-5, atol=1e-7)
+
+
+def test_smooth_graph_config_wiring():
+    """smooth_graph defaults to 'mutual' (framework default) and is
+    switchable to reference semantics via smooth_loss_params.graph; the two
+    modes differ on an asymmetric graph and the mutual loss can only drop
+    edges (<= reference value for L1)."""
+    cfg_default = L.OGCLossConfig.from_dict({})
+    assert cfg_default.smooth_graph == "mutual"
+    cfg_ref = L.OGCLossConfig.from_dict(
+        {"smooth_loss_params": {"graph": "reference"}})
+    assert cfg_ref.smooth_graph == "reference"
+
+    rng = np.random.RandomState(5)
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    mask = jax.nn.softmax(jnp.asarray(rng.randn(1, 64, 4).astype(np.float32)),
+                          -1)
+    lm = float(L.smooth_loss(pc, mask, L.OGCLossConfig()))
+    lr = float(L.smooth_loss(
+        pc, mask, L.OGCLossConfig(smooth_graph="reference")))
+    assert 0.0 < lm <= lr + 1e-7
+
+
 def test_monitor_terms_off_same_gradient_loss():
     """monitor_terms=False must not change the training objective; monitor
     dict entries become 0; statically-zero-weight terms are skipped."""

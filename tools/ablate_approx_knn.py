@@ -34,11 +34,13 @@ def main():
     parser.add_argument("--n_points", type=int, default=2048)
     parser.add_argument("--n_scenes", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--ablate", choices=["neighbors", "symgrad", "dtype"],
+    parser.add_argument("--ablate",
+                        choices=["neighbors", "symgrad", "dtype", "graph"],
                         default="neighbors",
                         help="neighbors: exact vs approx search; symgrad: "
                              "autodiff vs symmetric-graph smooth gradient; "
-                             "dtype: f32 vs bf16 compute-dtype training "
+                             "dtype: f32 vs bf16 compute-dtype training; "
+                             "graph: mutual vs reference smooth graph "
                              "(non-neighbors modes train approximate)")
     parser.add_argument("--seeds", type=int, default=1,
                         help="number of seeds (fresh data/init per seed); "
@@ -85,11 +87,15 @@ def main():
         # symmetric_smooth_grad.  dtype: variant = bf16 compute (both
         # non-neighbors modes train with the approximate default).
         symgrad = False
+        graph = "reference"
         if args.ablate == "neighbors":
             ops.set_exact_neighbors(variant)
         elif args.ablate == "symgrad":
             ops.set_exact_neighbors(False)
             symgrad = variant
+        elif args.ablate == "graph":
+            ops.set_exact_neighbors(False)
+            graph = "mutual" if variant else "reference"
         else:
             ops.set_exact_neighbors(False)
             set_compute_dtype(jnp.bfloat16 if variant else None)
@@ -101,7 +107,7 @@ def main():
             loss_cfg=OGCLossConfig(
                 weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0),
                 knn_k=8, knn_radius=0.05, ball_q_k=16, ball_q_radius=0.1,
-                symmetric_smooth_grad=symgrad,
+                symmetric_smooth_grad=symgrad, smooth_graph=graph,
             ),
             optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 4),
             aug_transform_epoch=9999, ignore_npoint_thresh=0,
@@ -154,6 +160,7 @@ def main():
         "neighbors": ("exact", "approx"),
         "symgrad": ("symgrad", "autodiff"),
         "dtype": ("bf16", "f32"),
+        "graph": ("mutual", "reference"),
     }[args.ablate]
     results = {}  # (variant, eval_mode) -> list of per-seed dicts
     for s in range(args.seeds):
