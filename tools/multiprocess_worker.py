@@ -75,9 +75,72 @@ def make_batch(rng, b_global, n_points=128, t=2):
     return pcs, segms, flows, valids
 
 
+def make_step_batch(it, b_global, n_points=128, t=2):
+    """Per-step deterministic batch (seeded by the step index) so an
+    interrupted-and-resumed job regenerates the exact data stream."""
+    rng = np.random.RandomState(1000 + it)
+    return make_batch(rng, b_global, n_points, t)
+
+
+def _build_trainer(model, params, mesh, exp_base):
+    return SegTrainer(
+        model=model, params=params,
+        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0),
+                               start_steps=(0, 0, 0)),
+        optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 8),
+        aug_transform_epoch=9999, ignore_npoint_thresh=0,
+        exp_base=exp_base, mesh=mesh,
+    )
+
+
+def run_elastic_mode(mode, model, params, mesh, exp_base, out_path):
+    """Kill-and-resume protocol (tests/test_multiprocess.py, 4 proc x 2 dev):
+
+    golden:       uninterrupted steps 0..5 (single process), dump losses.
+    interrupted:  steps 0..2, full-state checkpoint (epoch=3), barrier,
+                  marker file; then the victim process dies hard
+                  (os._exit) mid-job while the others attempt step 3 —
+                  they cannot progress past the dead peer's collectives
+                  (the launcher tears them down), modelling a worker loss.
+    resume:       a FRESH jax.distributed job restores the full train
+                  state from the interrupted job's checkpoint and replays
+                  steps 3..5; its loss trajectory must match golden's.
+    """
+    victim = int(os.environ.get("OGC_MP_VICTIM", "1"))
+    trainer = _build_trainer(model, params, mesh, exp_base)
+    losses = {}
+
+    start = 0
+    if mode == "resume":
+        epoch = trainer.resume(os.path.join(exp_base, "best"))
+        assert epoch == 3, epoch
+        start = 3
+
+    for it in range(start, 6):
+        batch = tuple(local_slice(a) for a in make_step_batch(it, 8))
+        ld, _, _ = trainer.train_it(it, batch)
+        losses[it] = ld["sum"]
+
+        if mode == "interrupted" and it == 2:
+            trainer.save(True, epoch=3)
+            wait_pending_saves()
+            barrier("ckpt-written")
+            if PID == 0:
+                with open(os.path.join(exp_base, "CKPT_DONE"), "w") as f:
+                    f.write("ok")
+            if PID == victim:
+                os._exit(42)  # hard worker loss, no cleanup
+
+    barrier("done")
+    with open(out_path, "w") as f:
+        json.dump({"losses": losses, "mode": mode}, f)
+    print(f"proc {PID}/{N_PROC} {mode} ok: {losses}")
+
+
 def main():
     out_path = os.environ["OGC_MP_OUT"]
     exp_base = os.environ["OGC_MP_EXP"]
+    mode = os.environ.get("OGC_MP_MODE", "full")
     n_devices = len(jax.devices())
     assert n_devices == N_PROC * LOCAL_DEVICES, (n_devices, N_PROC)
 
@@ -89,13 +152,11 @@ def main():
     params = model.init(jax.random.PRNGKey(0), pc0, pc0)
 
     mesh = pmesh.make_mesh(jax.devices())
-    trainer = SegTrainer(
-        model=model, params=params,
-        loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.0), start_steps=(0, 0, 0)),
-        optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, 8),
-        aug_transform_epoch=9999, ignore_npoint_thresh=0,
-        exp_base=exp_base, mesh=mesh,
-    )
+    if mode != "full":
+        run_elastic_mode(mode, model, params, mesh, exp_base, out_path)
+        return
+
+    trainer = _build_trainer(model, params, mesh, exp_base)
 
     rng = np.random.RandomState(0)  # identical global data on every process
     losses = []
