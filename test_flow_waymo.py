@@ -400,9 +400,19 @@ def main():
                 "--scene_batch requires the batched on-device GPF/ICP "
                 "(drop --host_preproc)"
             )
+        import sys
+        import time
+
+        t0 = time.perf_counter()
         _batched_eval(args, test_set, fwd, variables,
                       (meter, meter_g, meter_ng), n_point, data_root,
                       save_dir if args.save else None)
+        dt = time.perf_counter() - t0
+        print(
+            f"# batched eval wall: {dt:.2f} s for {len(test_set)} scenes "
+            f"({len(test_set) / dt:.3f} scenes/s, incl. compile)",
+            file=sys.stderr,
+        )
         print("Evaluation on waymo-%s:" % args.split,
               meter.get_mean_loss_dict())
         print("Ground points:", meter_g.get_mean_loss_dict())

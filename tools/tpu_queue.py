@@ -43,6 +43,17 @@ STEPS = {
                   "symgrad", "--seeds", "5", "--n_points", "8192"], 5400),
     "abl8k_dt": (["python", "tools/ablate_approx_knn.py", "--ablate",
                   "dtype", "--seeds", "5", "--n_points", "8192"], 5400),
+    # Round-3 additions: the mutual-vs-reference smooth-graph accuracy
+    # ablation (the mutual graph is the new DEFAULT, so it carries the
+    # stronger burden of proof), roofline/MFU measurements, and the Waymo
+    # double-buffer pipeline A/B.
+    "abl2k_gr": (["python", "tools/ablate_approx_knn.py", "--ablate",
+                  "graph", "--seeds", "5"], 5400),
+    "abl8k_gr": (["python", "tools/ablate_approx_knn.py", "--ablate",
+                  "graph", "--seeds", "5", "--n_points", "8192"], 5400),
+    "roofline": (["python", "tools/roofline.py"], 2400),
+    "rooftrain": (["python", "tools/roofline.py", "--train"], 2400),
+    "waymopipe": (["python", "tools/bench_waymo_pipeline.py"], 5400),
 }
 # Fast, high-information steps first (kernel validation + the bench A/B),
 # then the measurement probes, then the long pipeline smokes — `seg` also
