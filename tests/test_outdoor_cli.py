@@ -21,9 +21,11 @@ import yaml
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
-def _run_cli(script, cfg_path, *flags, timeout=1500):
+def _run_cli(script, cfg_path, *flags, timeout=1500, env_extra=None):
     env = dict(os.environ)
     env["OGC_PLATFORM"] = "cpu"
+    if env_extra:
+        env.update(env_extra)
     r = subprocess.run(
         [sys.executable, script, cfg_path, *flags],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
@@ -150,6 +152,20 @@ def test_flow_waymo_cli_xla_preproc(waymo_fixture, tmp_path):
     mdp = _metrics(out_dp)
     for k in m1:
         np.testing.assert_allclose(mdp[k], m1[k], rtol=1e-5, atol=1e-6)
+
+    # Serial fallback (OGC_WAYMO_PIPELINE=off): same device dispatches,
+    # same in-order finalization, no worker thread — must match the
+    # default double-buffered pipeline bitwise (metrics AND predflows).
+    flows_b = {f: np.load(f) for f in saved}
+    out_s = _run_cli("test_flow_waymo.py", cfg_path, "--split", "train",
+                     "--test_model_iters", "2", "--bound", "--save",
+                     "--approx_knn", "--scene_batch", "2",
+                     env_extra={"OGC_WAYMO_PIPELINE": "off"})
+    ms = _metrics(out_s)
+    for k in m1:
+        np.testing.assert_array_equal(ms[k], mb[k])
+    for f in saved:
+        np.testing.assert_array_equal(np.load(f), flows_b[f])
 
 
 @pytest.mark.slow
