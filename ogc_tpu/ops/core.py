@@ -31,6 +31,7 @@ deterministic, unlike the reference's atomicAdd backward kernels
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -57,6 +58,12 @@ _EXACT_DEFAULT = False
 # interpolation stencil.
 _RECALL_LARGE_K = 0.95
 _RECALL_SMALL_K = 0.99
+
+# Exact neighbor searches dispatch to the fused Pallas exact kernels
+# (pallas_knn.knn_exact / ball_query_exact) on a single TPU; "off" restores
+# the XLA materialize+top_k paths.  Read at import (trace-time static, like
+# OGC_PALLAS_KNN_EXTRACT): set before process start for A/B runs.
+_PALLAS_EXACT_ENV = os.environ.get("OGC_PALLAS_KNN_EXACT", "on")
 
 
 def set_exact_neighbors(exact: bool) -> None:
@@ -440,6 +447,24 @@ def _knn_jit(
         from ogc_tpu.ops.pallas_knn import knn_blockmin
 
         return knn_blockmin(k, query, points, recall_target=recall_target)
+    if (
+        exact
+        and _PALLAS_EXACT_ENV != "off"
+        and pallas_available()
+        and M >= 1024
+        and M >= k
+    ):
+        # Exact fused kernel: same reference semantics as the XLA path
+        # below (ascending d2, ties to the lower index) but k-round
+        # masked-min extraction instead of lax.top_k's full variadic sort,
+        # and no (B, N, M) HBM tile — the XLA exact path made parity-mode
+        # bench ~20x slower than fast mode (BENCHLOG r3).  d2 uses the
+        # reference CUDA's direct per-coordinate form, so in-band tie
+        # order is MORE reference-faithful than square_distance's MXU
+        # expansion.  OGC_PALLAS_KNN_EXACT=off restores the XLA path.
+        from ogc_tpu.ops.pallas_knn import knn_exact
+
+        return knn_exact(k, query, points)
     if N <= chunk:
         d2, idx = _knn_chunk(query, points, k, exact, recall_target)
         return jnp.sqrt(d2), idx
@@ -562,6 +587,23 @@ def _ball_query_jit(
         from ogc_tpu.ops.pallas_knn import ball_query_blockmin
 
         cand = ball_query_blockmin(radius, nsample, xyz, new_xyz)
+        return _fill_balls(cand, nsample)
+    if (
+        exact
+        and _PALLAS_EXACT_ENV != "off"
+        and pallas_available()
+        and N >= 1024
+        and N >= nsample
+    ):
+        # Exact fused kernel: blk=1 keeps every in-radius index (ball keys
+        # are pure indices — no truncation), so this is the reference's
+        # index-order filling exactly, without the (B, M, N) tile +
+        # full-sort top_k of the XLA path below.  See
+        # pallas_knn.ball_query_exact; OGC_PALLAS_KNN_EXACT=off restores
+        # the XLA path.
+        from ogc_tpu.ops.pallas_knn import ball_query_exact
+
+        cand = ball_query_exact(radius, nsample, xyz, new_xyz)
         return _fill_balls(cand, nsample)
     if M > chunk:
         n_chunks = -(-M // chunk)

@@ -208,3 +208,90 @@ def test_morton_codes_order_locality():
     rand = np.linalg.norm(pts[:-1] - pts[np.roll(np.arange(511), 17)],
                           axis=-1).mean()
     assert consec < 0.5 * rand
+
+
+# ---------------------------------------------------------------------------
+# Exact modes (knn_exact / ball_query_exact — the parity-mode fast path)
+# ---------------------------------------------------------------------------
+
+
+def _np_knn(k, q, p):
+    """f32 oracle matching the reference CUDA: direct-form d2, stable sort
+    (ties toward the lower index)."""
+    d2 = ((q[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=-1, kind="stable")[..., :k]
+    return np.sqrt(np.take_along_axis(d2, idx, axis=-1)), idx
+
+
+@pytest.mark.parametrize("n,m,k", [(600, 1500, 16), (128, 1024, 3),
+                                   (257, 1025, 32), (1024, 2048, 1)])
+def test_exact_knn_matches_oracle(n, m, k):
+    from ogc_tpu.ops.pallas_knn import knn_exact
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(30 * rng.rand(2, n, 3).astype(np.float32))
+    p = jnp.asarray(30 * rng.rand(2, m, 3).astype(np.float32))
+    d, i = knn_exact(k, q, p, interpret=True)
+    want_d, want_i = _np_knn(k, np.asarray(q), np.asarray(p))
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6, atol=1e-6)
+
+
+def test_exact_knn_ties_by_lower_index():
+    """Duplicated candidate points (exactly equal d2 — the bucket-padded
+    production case) must resolve toward the lower index, like the
+    reference's stable insertion sort."""
+    from ogc_tpu.ops.pallas_knn import knn_exact
+
+    rng = np.random.RandomState(8)
+    p = 10 * rng.rand(1, 1100, 3).astype(np.float32)
+    p[0, 550:] = p[0, :550]          # every point duplicated once
+    q = p[:, :64].copy()
+    d, i = knn_exact(4, jnp.asarray(q), jnp.asarray(p), interpret=True)
+    want_d, want_i = _np_knn(4, q, p)
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+    # self first, its duplicate (index + 550) second
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(64))
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 1], np.arange(64) + 550)
+
+
+def test_exact_ball_matches_oracle():
+    from ogc_tpu.ops.core import _fill_balls
+    from ogc_tpu.ops.pallas_knn import ball_query_exact
+
+    rng = np.random.RandomState(9)
+    xyz = rng.rand(2, 1500, 3).astype(np.float32)
+    ctr = xyz[:, ::10].copy()
+    cand = ball_query_exact(0.12, 8, jnp.asarray(xyz), jnp.asarray(ctr),
+                            interpret=True)
+    got = np.asarray(_fill_balls(cand, 8))
+
+    # reference-order oracle (ball_query_gpu.cu:9-45): first nsample
+    # in-radius indices ascending; pad with the first; empty -> zeros.
+    d2 = ((ctr[:, :, None, :] - xyz[:, None, :, :]) ** 2).sum(-1)
+    want = np.zeros_like(got)
+    for b in range(got.shape[0]):
+        for n in range(got.shape[1]):
+            inside = np.nonzero(d2[b, n] < 0.12 * 0.12)[0][:8]
+            if len(inside):
+                want[b, n, :] = inside[0]
+                want[b, n, :len(inside)] = inside
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_dispatch_semantics_match_xla():
+    """ops.knn(exact=True)'s XLA path and the kernel agree on indices for
+    well-separated clouds (the kernel's direct-form d2 vs XLA's MXU
+    expansion differ in ulps, so only tie-free data pins equality)."""
+    from ogc_tpu.ops.pallas_knn import knn_exact
+
+    rng = np.random.RandomState(10)
+    q = jnp.asarray(30 * rng.rand(1, 300, 3).astype(np.float32))
+    p = jnp.asarray(30 * rng.rand(1, 1100, 3).astype(np.float32))
+    d_x, i_x = ops.knn(9, q, p, exact=True)
+    d_k, i_k = knn_exact(9, q, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_k))
+    # distances: direct-form vs MXU-expansion d2 differ by ~|p||q|*eps
+    # (~1e-4 absolute in d2 at 30 m scale)
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_k),
+                               rtol=1e-3, atol=1e-3)

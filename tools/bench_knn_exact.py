@@ -1,0 +1,138 @@
+"""On-chip A/B: exact neighbor search — XLA materialize+top_k path vs the
+fused Pallas exact kernels (pallas_knn.knn_exact / ball_query_exact).
+
+The eval CLIs default to exact neighbors (metric parity with the
+reference), so this is the path a user benchmarking "reference semantics"
+actually runs: bench.py r3 measured parity mode at 4.6 scenes/s vs 94
+fast — almost entirely lax.top_k's full variadic sort over 8192-wide
+rows.  Arms cover the model's hot exact shapes (flow cross/self-KNN,
+3-NN interpolation, SA ball query).  Also asserts index equality between
+the two paths on the random clouds (ulp-level d2 form differences can in
+principle flip near-ties; random uniform clouds have none).
+
+Run ON TPU, one process at a time:  python tools/bench_knn_exact.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+WARMUP = 2
+ITERS = 5
+
+
+def make_timed(fn, reps=8):
+    import jax
+    import jax.numpy as jnp
+
+    def repeated(*args):
+        pc = args[-1]
+
+        def body(carry, _):
+            out = fn(*args[:-1], pc + carry * 1e-12)
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out) \
+                if isinstance(out, tuple) else jnp.sum(out.astype(jnp.float32))
+            return s.astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return final
+
+    jitted = jax.jit(repeated)
+
+    def run(*args):
+        float(jitted(*args))
+        for _ in range(WARMUP - 1):
+            float(jitted(*args))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            float(jitted(*args))
+        return (time.perf_counter() - t0) / (ITERS * reps)
+
+    return run
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
+
+    from ogc_tpu.ops import core
+    from ogc_tpu.ops.pallas_knn import ball_query_exact, knn_exact
+
+    # Route the XLA arms around the kernel dispatch (process-local; the
+    # kernel arms call pallas_knn directly, so there is no jit-cache
+    # collision between the two).
+    core._PALLAS_EXACT_ENV = "off"
+
+    rng = np.random.RandomState(0)
+    results = []
+
+    def clouds(n, m, b=8):
+        q = jnp.asarray(30 * rng.rand(b, n, 3).astype(np.float32))
+        p = jnp.asarray(30 * rng.rand(b, m, 3).astype(np.float32))
+        return q, p
+
+    # --- KNN arms ---------------------------------------------------------
+    for n, m, k in [(8192, 8192, 16), (8192, 8192, 32), (8192, 2048, 3)]:
+        q, p = clouds(n, m)
+
+        def xla_arm(q, p, k=k):
+            # raw body (jit cache bypass): the production chunked exact
+            # path, with _PALLAS_EXACT_ENV=off steering past the kernel
+            return core._knn_jit.__wrapped__(k, q, p, 4096, True, 1.0)
+
+        def krn_arm(q, p, k=k):
+            return knn_exact(k, q, p)
+
+        # correctness first (indices must agree on tie-free random clouds)
+        i_x = jax.jit(lambda q, p: xla_arm(q, p)[1])(q, p)
+        i_k = jax.jit(lambda q, p: krn_arm(q, p)[1])(q, p)
+        eq = bool(jnp.all(i_x == i_k))
+
+        t_x = make_timed(lambda p_, q_: xla_arm(q_, p_))(p, q)
+        t_k = make_timed(lambda p_, q_: krn_arm(q_, p_))(p, q)
+        row = dict(op=f"knn n{n} m{m} k{k}", xla_ms=t_x * 1e3,
+                   kernel_ms=t_k * 1e3, speedup=t_x / t_k, idx_equal=eq)
+        results.append(row)
+        print(f"[{row['op']}] xla {row['xla_ms']:.2f} ms | kernel "
+              f"{row['kernel_ms']:.2f} ms | {row['speedup']:.2f}x | "
+              f"idx_equal={eq}", file=sys.stderr, flush=True)
+
+    # --- ball-query arms --------------------------------------------------
+    for nq, m, ns, r in [(8192, 8192, 64, 2.0), (2048, 8192, 32, 1.0)]:
+        ctr, p = clouds(nq, m)
+
+        def xla_ball(ctr, p, ns=ns, r=r):
+            return core._ball_query_jit.__wrapped__(
+                r, ns, p, ctr, True, 2048)
+
+        def krn_ball(ctr, p, ns=ns, r=r):
+            cand = ball_query_exact(r, ns, p, ctr)
+            return core._fill_balls(cand, ns)
+
+        i_x = jax.jit(xla_ball)(ctr, p)
+        i_k = jax.jit(krn_ball)(ctr, p)
+        eq = bool(jnp.all(i_x == i_k))
+
+        t_x = make_timed(xla_ball)(ctr, p)
+        t_k = make_timed(krn_ball)(ctr, p)
+        row = dict(op=f"ball n{nq} m{m} ns{ns} r{r}", xla_ms=t_x * 1e3,
+                   kernel_ms=t_k * 1e3, speedup=t_x / t_k, idx_equal=eq)
+        results.append(row)
+        print(f"[{row['op']}] xla {row['xla_ms']:.2f} ms | kernel "
+              f"{row['kernel_ms']:.2f} ms | {row['speedup']:.2f}x | "
+              f"idx_equal={eq}", file=sys.stderr, flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
