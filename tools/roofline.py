@@ -98,8 +98,27 @@ def gather_anchors(B=8, n_src=2048, n_rows=3_500_000, C=64):
     rng = np.random.RandomState(0)
     big = jnp.asarray(rng.rand(512, 8192, 16).astype(np.float32))  # 256 MB
 
-    t_copy = make_timed(lambda x: x * 1.000001 + 0.5)(big)
-    copy_gbs = 2 * big.size * 4 / t_copy / 1e9  # read + write
+    # Stream bandwidth with the traffic enforced by a loop-carried ARRAY
+    # dependency: each scan iteration must materialize its full-size carry
+    # (1 read + 1 write of 256 MB), so XLA can neither fuse the passes away
+    # nor collapse them into the final reduction.  (The earlier
+    # perturb-and-reduce form under-measured: its only forced traffic was
+    # one read, and XLA was free to split/fuse it unpredictably.)
+    def stream(x):
+        def body(c, _):
+            return c * 1.000001 + 1e-7, None
+
+        final, _ = jax.lax.scan(body, x, None, length=10)
+        return jnp.sum(final)
+
+    js = jax.jit(stream)
+    float(js(big))
+    float(js(big))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        float(js(big))
+    t_copy = (time.perf_counter() - t0) / (ITERS * 10)
+    copy_gbs = 2 * big.size * 4 / t_copy / 1e9  # read + write per iteration
 
     src = jnp.asarray(rng.rand(B, n_src, C).astype(np.float32)).astype(
         jnp.bfloat16)
