@@ -62,6 +62,11 @@ def build_fixture(root, n_pairs, raw_n, seed=0):
 
 def save_ckpt(path, npoint):
     import jax
+
+    # The parent process must NOT touch the TPU: its children are the TPU
+    # processes, and the remote compile helper serializes — a resident
+    # parent TPU client would starve every arm (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ogc_tpu.models.flownet import FlowStep3D
@@ -75,14 +80,17 @@ def save_ckpt(path, npoint):
     save_checkpoint(jax.device_get(variables), False, filename=path)
 
 
-def run_arm(cfg_path, save_root, pipelined, scene_batch, timeout):
+def run_arm(cfg_path, pipelined, scene_batch, timeout):
     env = dict(os.environ)
     env["OGC_WAYMO_PIPELINE"] = "on" if pipelined else "off"
     t0 = time.perf_counter()
+    # --save so each group's finalization includes the predflow writes the
+    # pipeline overlaps (the CLI derives the save dir from data_root; the
+    # arms overwrite each other, which is fine for a timing A/B).
     r = subprocess.run(
         [sys.executable, "test_flow_waymo.py", cfg_path, "--split", "train",
          "--scene_batch", str(scene_batch), "--bound", "--save",
-         "--save_root", save_root, "--test_model_iters", "5"],
+         "--test_model_iters", "5"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
     )
     wall = time.perf_counter() - t0
@@ -107,13 +115,15 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="waymo_pipe_")
     build_fixture(tmp, args.scenes, args.raw_n)
-    ckpt_dir = osp.join(tmp, "ckpt")
-    save_ckpt(osp.join(ckpt_dir, "best.npz"), args.n_point)
+    # save_path is the checkpoint FILE the CLI loads (tests/test_outdoor_cli
+    # layout), and datasets read data.root / data.mapping_path.
+    ckpt_path = osp.join(tmp, "ckpt", "flow_waymo")
+    save_ckpt(ckpt_path, args.n_point)
 
     cfg = {
-        "dataset": "waymo", "data_root": tmp, "mapping_path":
-            osp.join(tmp, "train.txt"),
-        "save_path": ckpt_dir, "n_point": args.n_point,
+        "dataset": "waymo",
+        "save_path": ckpt_path,
+        "data": {"root": tmp, "mapping_path": osp.join(tmp, "train.txt")},
         "flownet": {"npoint": args.n_point, "use_instance_norm": False,
                     "loc_flow_nn": 16, "loc_flow_rad": 1.5},
     }
@@ -128,8 +138,7 @@ def main():
     for rep in range(2):
         for pipelined in (False, True):
             wall, eval_wall, _ = run_arm(
-                cfg_path, osp.join(tmp, f"out_{pipelined}_{rep}"),
-                pipelined, args.scene_batch, args.timeout)
+                cfg_path, pipelined, args.scene_batch, args.timeout)
             key = "pipelined" if pipelined else "serial"
             results.setdefault(key, []).append(eval_wall)
             print(f"# arm {key} rep {rep}: eval {eval_wall:.2f} s "
