@@ -76,8 +76,17 @@ def main():
     results = []
 
     def clouds(n, m, b=8):
-        q = jnp.asarray(30 * rng.rand(b, n, 3).astype(np.float32))
-        p = jnp.asarray(30 * rng.rand(b, m, 3).astype(np.float32))
+        # 0.25-grid quantized coordinates: every pairwise d2 is then exactly
+        # representable in f32 whichever way it is computed (direct
+        # per-coordinate vs MXU expansion), so the XLA-vs-kernel index
+        # equality below is meaningful — continuous clouds would flip
+        # membership/order for the ~tens of pairs per 67M that land within
+        # one ulp of a decision boundary.  Ties (equal d2) break toward the
+        # lower index in both paths.
+        q = jnp.asarray(np.round(120 * rng.rand(b, n, 3)).astype(np.float32)
+                        / 4.0)
+        p = jnp.asarray(np.round(120 * rng.rand(b, m, 3)).astype(np.float32)
+                        / 4.0)
         return q, p
 
     # --- KNN arms ---------------------------------------------------------
