@@ -451,7 +451,7 @@ def _knn_jit(
         exact
         and _PALLAS_EXACT_ENV != "off"
         and pallas_available()
-        and M >= 1024
+        and 1024 <= M <= 16384  # (M, 128) f32 scratch must fit VMEM
         and M >= k
     ):
         # Exact fused kernel: same reference semantics as the XLA path
@@ -592,7 +592,7 @@ def _ball_query_jit(
         exact
         and _PALLAS_EXACT_ENV != "off"
         and pallas_available()
-        and N >= 1024
+        and 1024 <= N <= 16384  # (N, 128) i32 key scratch must fit VMEM
         and N >= nsample
     ):
         # Exact fused kernel: blk=1 keeps every in-radius index (ball keys
