@@ -188,6 +188,21 @@ def _knn_kernel(k, blk, idx_bits, n_mtiles, ball_r2, extract, d2_mode,
             d2 = dx * dx + dy * dy + dz * dz
 
         g = _TM // blk
+        if blk == 1:
+            # Exact mode (no thinning): every candidate keeps its own key —
+            # skip the singleton-group reshape/reduce entirely.
+            ids1 = (
+                jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + mt * _TM
+            )
+            if ball_r2 is None:
+                keys = (
+                    pltpu.bitcast(d2, jnp.int32) & ~mask_low
+                ) | ids1
+            else:
+                keys = jnp.where(d2 < ball_r2, ids1,
+                                 jnp.int32(_BALL_INVALID))
+            keys_scr[pl.ds(mt * g, g), :] = keys
+            return 0
         d3 = d2.reshape(g, blk, d2.shape[1])
         ids = (
             jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0) + mt * _TM
