@@ -1,7 +1,6 @@
 """CLI smoke tests: train_seg.py then test_seg.py on a synthetic SAPIEN set,
 run as real subprocesses with the reference-compatible YAML interface."""
 
-import dataclasses
 import os
 import os.path as osp
 import subprocess
@@ -144,8 +143,10 @@ def test_compute_dtype_hook(tmp_path):
 
 def test_fast_configs_resolve_fast_modes():
     """The shipped *_fast.yaml configs must actually flip the validated
-    fast modes: bf16 compute + symmetric smooth gradients (PARITY.md
-    5-seed ablations back both as accuracy-neutral)."""
+    fast mode (bf16 compute — PARITY.md 5-seed ablation) and must NOT
+    otherwise deviate from the parity protocol.  The smooth losses use the
+    mutualized graph by default everywhere (exact scatter-free gradient,
+    r3), so the fast configs carry no superseded symmetric_grad flag."""
     import argparse
 
     import jax.numpy as jnp
@@ -166,10 +167,10 @@ def test_fast_configs_resolve_fast_modes():
             set_compute_dtype(None)
         load_config_into_args(ref)
         lc = OGCLossConfig.from_dict(args.loss)
-        assert lc.symmetric_smooth_grad, cfg
+        assert not lc.symmetric_smooth_grad, cfg  # superseded by mutual
+        assert lc.smooth_graph == "mutual", cfg
         # Everything else must match the parity config exactly.
-        base_lc = OGCLossConfig.from_dict(ref.loss)
-        assert lc == dataclasses.replace(base_lc, symmetric_smooth_grad=True)
+        assert lc == OGCLossConfig.from_dict(ref.loss)
         assert args.segnet == ref.segnet and args.epochs == ref.epochs
         assert args.lr == ref.lr and args.batch_size == ref.batch_size
 
