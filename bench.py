@@ -81,6 +81,8 @@ if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
 
+    decompose = "--decompose" in sys.argv
+
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
@@ -143,6 +145,22 @@ if __name__ == "__main__":
         _core._PALLAS_EXACT_ENV = "off"
         jax.clear_caches()
         parity_sps = measure()
+
+    # Opt-in gap decomposition (not part of the driver contract): the two
+    # mixed arms attribute the parity<->fast gap to compute dtype vs
+    # neighbor-search exactness.
+    if decompose:
+        set_compute_dtype(jnp.bfloat16)
+        ops.set_exact_neighbors(True)
+        bf16_exact_sps = measure()
+        set_compute_dtype(None)
+        ops.set_exact_neighbors(False)
+        f32_approx_sps = measure()
+        print(
+            f"# decomposition: bf16+exact {bf16_exact_sps:.2f} scenes/s | "
+            f"f32+approx {f32_approx_sps:.2f} scenes/s",
+            file=sys.stderr,
+        )
 
     print(
         f"# fast mode (bf16 + approx-KNN): {fast_sps:.2f} scenes/s | "
