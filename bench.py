@@ -40,25 +40,40 @@ WARMUP = 2
 ITERS = 5
 
 
-def make_timed(fn, reps: int = 10):
+def make_timed(fn, reps: int = 10, warmup: int = None, iters: int = None):
     """Time fn amortized over `reps` in-graph repetitions.
 
-    The repetitions run inside one jit via lax.scan, with the point-cloud
-    input perturbed by the previous step's scalar output (prevents CSE), so
-    host<->device relay latency is paid once per measurement, not per rep.
-    Returned time is seconds per single fn invocation.
+    The repetitions run inside one jit via lax.scan, with the LAST
+    positional input perturbed by the previous step's scalar output
+    (prevents CSE/hoisting), so host<->device relay latency is paid once
+    per measurement, not per rep.  Returned time is seconds per single fn
+    invocation.  Tuple outputs are reduced termwise; every term is cast to
+    f32 BEFORE summation (int index outputs, bf16 features — lax.scan
+    requires a fixed carry type).
+
+    Caveat: the perturbation adds an f32 carry to the last arg — a bf16 or
+    integer last arg would be silently PROMOTED and change the measured
+    dtype; cast inside fn if the last arg is not already f32.
+
+    This is the repo's single canonical timing helper (tools/ import it as
+    `from bench import make_timed`); BENCHLOG "Measurement notes" for the
+    methodology and its ~3.2 ms fixed per-call overhead.
     """
     import jax
     import jax.numpy as jnp
+
+    warmup = WARMUP if warmup is None else warmup
+    iters = ITERS if iters is None else iters
 
     def repeated(*args):
         pc = args[-1]
 
         def body(carry, _):
-            # float32 carry regardless of fn's dtype (int index outputs,
-            # bf16 features) — lax.scan requires a fixed carry type.
-            out = jnp.sum(fn(*args[:-1], pc + carry * 1e-12))
-            return out.astype(jnp.float32), None
+            out = fn(*args[:-1], pc + carry * 1e-12)
+            if not isinstance(out, (tuple, list)):
+                out = (out,)
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+            return s, None
 
         final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
         return final
@@ -67,12 +82,12 @@ def make_timed(fn, reps: int = 10):
 
     def run(*args):
         float(jitted(*args))  # compile + warm
-        for _ in range(WARMUP - 1):
+        for _ in range(warmup - 1):
             float(jitted(*args))
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(iters):
             float(jitted(*args))
-        return (time.perf_counter() - t0) / (ITERS * reps)
+        return (time.perf_counter() - t0) / (iters * reps)
 
     return run
 
@@ -132,6 +147,7 @@ if __name__ == "__main__":
     # alongside so the two configurations are never conflated (VERDICT r2).
     set_compute_dtype(None)
     ops.set_exact_neighbors(True)
+    parity_fallback = False
     try:
         parity_sps = measure()
     except Exception as e:  # exact-kernel compile failure must not take
@@ -144,6 +160,8 @@ if __name__ == "__main__":
 
         _core._PALLAS_EXACT_ENV = "off"
         jax.clear_caches()
+        parity_fallback = True  # marked in the JSON artifact: the parity
+        # figure (and any --decompose exact arm) is the XLA exact path
         parity_sps = measure()
 
     # Opt-in gap decomposition (not part of the driver contract): the two
@@ -179,6 +197,10 @@ if __name__ == "__main__":
                 "parity_mode_value": round(parity_sps, 3),
                 "parity_mode_vs_baseline": round(
                     parity_sps / REFERENCE_A100_SCENES_PER_SEC, 3
+                ),
+                **(
+                    {"parity_exact_kernel_fallback": True}
+                    if parity_fallback else {}
                 ),
             }
         )

@@ -50,6 +50,8 @@ def main():
                              "evaluation (faster; default exact "
                              "for metric parity)")
     args = parser.parse_args()
+    if args.round < 1:  # validate BEFORE any model/checkpoint work
+        parser.error("--round must be >= 1 (got %d)" % args.round)
     load_config_into_args(args)
     from ogc_tpu import ops as _ops
 
@@ -115,8 +117,6 @@ def main():
         test_set_predflow = TestDataset(**common, predflow_path=predflow_path)
     n_frame = len(view_sels)
     batch_size = args.test_batch_size
-    if args.round < 1:
-        parser.error("--round must be >= 1 (got %d)" % args.round)
     # Rounds beyond the reference's schedule table (oa_icp.py:175-176)
     # clamp to the final entry (3 iterations) instead of raising.
     icp_iter = ICP_ITERS.get(args.round, ICP_ITERS[max(ICP_ITERS)])

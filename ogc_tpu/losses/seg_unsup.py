@@ -468,6 +468,12 @@ class OGCLossConfig:
         i = loss_cfg.get("invariance_loss_params", {})
         kp = s.get("knn_loss_params", {})
         bp = s.get("ball_q_loss_params", {})
+        graph = s.get("graph", "mutual")
+        if graph not in ("mutual", "reference"):  # a typo here would
+            # silently select the reference scatter-add path
+            raise ValueError(
+                f"smooth_loss_params.graph must be 'mutual' or 'reference',"
+                f" got {graph!r}")
         return cls(
             weights=tuple(loss_cfg.get("weights", (10.0, 0.1, 0.1))),
             start_steps=tuple(loss_cfg.get("start_steps", (0, 0, 0))),
@@ -484,7 +490,7 @@ class OGCLossConfig:
             # Extension keys (not in reference YAMLs): scatter-free smooth
             # backward (see _sym_grad_discrepancy) and monitor-term skipping.
             symmetric_smooth_grad=s.get("symmetric_grad", False),
-            smooth_graph=s.get("graph", "mutual"),
+            smooth_graph=graph,
             monitor_terms=loss_cfg.get("monitor_terms", True),
         )
 

@@ -308,6 +308,9 @@ def test_smooth_graph_config_wiring():
     cfg_ref = L.OGCLossConfig.from_dict(
         {"smooth_loss_params": {"graph": "reference"}})
     assert cfg_ref.smooth_graph == "reference"
+    with pytest.raises(ValueError, match="graph"):  # a typo must not
+        # silently fall back to either path
+        L.OGCLossConfig.from_dict({"smooth_loss_params": {"graph": "mutal"}})
 
     rng = np.random.RandomState(5)
     pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))

@@ -15,7 +15,6 @@ Run ON TPU, one process at a time:  python tools/bench_knn_exact.py
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -25,34 +24,11 @@ WARMUP = 2
 ITERS = 5
 
 
+from bench import make_timed as _make_timed  # canonical timer
+
+
 def make_timed(fn, reps=8):
-    import jax
-    import jax.numpy as jnp
-
-    def repeated(*args):
-        pc = args[-1]
-
-        def body(carry, _):
-            out = fn(*args[:-1], pc + carry * 1e-12)
-            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out) \
-                if isinstance(out, tuple) else jnp.sum(out.astype(jnp.float32))
-            return s.astype(jnp.float32), None
-
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return final
-
-    jitted = jax.jit(repeated)
-
-    def run(*args):
-        float(jitted(*args))
-        for _ in range(WARMUP - 1):
-            float(jitted(*args))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            float(jitted(*args))
-        return (time.perf_counter() - t0) / (ITERS * reps)
-
-    return run
+    return _make_timed(fn, reps=reps, warmup=WARMUP, iters=ITERS)
 
 
 def main():
@@ -141,6 +117,9 @@ def main():
               f"idx_equal={eq}", file=sys.stderr, flush=True)
 
     print(json.dumps(results))
+    bad = [r["op"] for r in results if not r["idx_equal"]]
+    if bad:  # the exactness canary is enforced, not just reported
+        sys.exit(f"index mismatch between XLA and Pallas exact paths: {bad}")
 
 
 if __name__ == "__main__":

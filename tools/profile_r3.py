@@ -7,39 +7,17 @@ prefix (flow iters=1 vs 5).
 """
 
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
 
 
+from bench import make_timed as _make_timed  # canonical timer
+
+
 def make_timed(fn, reps=10, warmup=2, iters=3):
-    import jax
-    import jax.numpy as jnp
-
-    def repeated(*args):
-        pc = args[-1]
-
-        def body(carry, _):
-            out = jnp.sum(fn(*args[:-1], pc + carry * 1e-12).astype(jnp.float32))
-            return out, None
-
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return final
-
-    jitted = jax.jit(repeated)
-
-    def run(*args):
-        float(jitted(*args))
-        for _ in range(warmup - 1):
-            float(jitted(*args))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            float(jitted(*args))
-        return (time.perf_counter() - t0) / (iters * reps)
-
-    return run
+    return _make_timed(fn, reps=reps, warmup=warmup, iters=iters)
 
 
 def main():

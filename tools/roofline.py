@@ -35,34 +35,7 @@ WARMUP = 2
 ITERS = 5
 
 
-def make_timed(fn, reps=10):
-    """bench.py methodology: in-graph lax.scan repetitions, input perturbed
-    by the carry (prevents hoisting), scalar host read as the barrier."""
-    import jax
-    import jax.numpy as jnp
-
-    def repeated(*args):
-        pc = args[-1]
-
-        def body(carry, _):
-            out = jnp.sum(fn(*args[:-1], pc + carry * 1e-12))
-            return out.astype(jnp.float32), None
-
-        final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return final
-
-    jitted = jax.jit(repeated)
-
-    def run(*args):
-        float(jitted(*args))
-        for _ in range(WARMUP - 1):
-            float(jitted(*args))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            float(jitted(*args))
-        return (time.perf_counter() - t0) / (ITERS * reps)
-
-    return run
+from bench import make_timed  # canonical in-graph repetition timer
 
 
 def cost_of(fn, *args):
@@ -126,8 +99,13 @@ def gather_anchors(B=8, n_src=2048, n_rows=3_500_000, C=64):
         rng.randint(0, n_src, size=(B, n_rows // B)).astype(np.int32))
 
     def gath(i, s):
+        # make_timed perturbs the last arg with an f32 carry, which would
+        # silently promote the bf16 source to f32 and double the row bytes
+        # (measured ~2x on-chip); cast back so the gather moves true bf16
+        # rows (the 2 MB/step cast is negligible vs the 450 MB gathered).
         return jnp.take_along_axis(
-            s, i[..., None].astype(jnp.int32), axis=1, mode="clip")
+            s.astype(jnp.bfloat16), i[..., None].astype(jnp.int32),
+            axis=1, mode="clip")
 
     # perturbable last arg must be float: swap arg order via closure
     t_g = make_timed(lambda i, s: gath(i, s))(idx, src)
