@@ -26,6 +26,10 @@ STEPS = {
              3600),
     "flowbf16": (["python", "tools/tpu_e2e_smoke.py", "--mode", "flow",
                   "--bf16"], 3600),
+    # Plain flow smoke (f32 + exact neighbors = the eval-CLI parity
+    # default): end-to-end coverage of the exact Pallas kernels in a real
+    # pipeline, not just the knnexact isolation A/B.
+    "flow": (["python", "tools/tpu_e2e_smoke.py", "--mode", "flow"], 3600),
     "seg": (["python", "tools/tpu_e2e_smoke.py"], 3600),
     "bench": (["python", "bench.py"], 2400),
     "benchoff": (["python", "bench.py"], 2400),  # OGC_PALLAS_POOL=off
