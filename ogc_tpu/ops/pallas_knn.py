@@ -317,6 +317,14 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
 _QT_EXACT = 128  # exact modes keep an un-thinned (Mp, qt) scratch resident;
                  # 128 lanes (one vreg) holds it at 4 MB for Mp=8192
 
+# Exact-kernel emission scheme: "lex" = lexicographic (d2, idx) eligibility
+# test per round (~12 VPU ops/element); "removal" = destructively mark the
+# previous round's winner +inf in the VMEM d2 scratch, reducing each round
+# to a plain min scan (~8 ops/element + one store).  Read at import like
+# the other kernel A/B switches; flip the default only on a measured
+# on-chip win (tools/bench_knn_exact.py --emit).
+_EXACT_EMIT_ENV = os.environ.get("OGC_PALLAS_EXACT_EMIT", "lex")
+
 
 def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
     """Exact KNN: full-precision f32 d2 + (d2, idx) lexicographic k-round
@@ -386,12 +394,80 @@ def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
         last_d, last_i = nd, ni
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+def _knn_exact_kernel_removal(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
+                              d2_scr):
+    """Exact KNN with destructive winner removal: identical contract to
+    _knn_exact_kernel (ascending d2, ties to the lower index — reference
+    interpolate_gpu.cu:30-46), cheaper emission loop.
+
+    Instead of the lexicographic (d2 > last) | (d2 == last & idx > last)
+    eligibility test (~12 VPU ops/element/round), each round after the
+    first overwrites the PREVIOUS winner's d2 with +inf in the VMEM
+    scratch — candidate ids are globally unique, so exactly one element is
+    removed per round and every round reduces to a plain min scan (~8
+    ops/element + one scratch store).  Ties still resolve to the lower
+    index: removed elements carry +inf and the per-round index pick is
+    min(ids | d2 == round_min).
+    """
+    qx = q_ref[0, 0:1, :]
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
+
+    def mstep(mt, _):
+        sl = pl.ds(mt * _TM, _TM)
+        p = p_ref[0, sl, :]
+        dx = p[:, 0:1] - qx
+        dy = p[:, 1:2] - qy
+        dz = p[:, 2:3] - qz
+        d2_scr[sl, :] = dx * dx + dy * dy + dz * dz
+        return 0
+
+    jax.lax.fori_loop(0, n_mtiles, mstep, 0)
+
+    qt = q_ref.shape[2]
+    inf = jnp.float32(jnp.inf)
+    imax = jnp.int32(2**31 - 1)
+    tile_shape = (_TM, qt)
+    last_i = jnp.full((1, qt), jnp.int32(-1))
+    for i in range(k):
+        def tile(mt, carry, last_i=last_i, remove=(i > 0)):
+            rd, ri = carry
+            sl = pl.ds(mt * _TM, _TM)
+            d2 = d2_scr[sl, :]
+            ids = jax.lax.broadcasted_iota(jnp.int32, tile_shape, 0)
+            if remove:
+                # last_i is global; shift to tile-local space on the (1, qt)
+                # scalar row rather than adding mt*_TM per element.
+                d2 = jnp.where(ids == (last_i - mt * _TM), inf, d2)
+                d2_scr[sl, :] = d2
+            nd = jnp.min(d2, axis=0, keepdims=True)
+            # d2 == nd always has >= 1 match in-tile (nd is this tile's
+            # min and at most k < _TM elements are ever removed), so the
+            # local argmin is always valid and shifts to global space on
+            # the (1, qt) row.
+            ni = jnp.min(jnp.where(d2 == nd, ids, imax),
+                         axis=0, keepdims=True) + mt * _TM
+            better = (nd < rd) | ((nd == rd) & (ni < ri))
+            return (jnp.where(better, nd, rd), jnp.where(better, ni, ri))
+
+        nd, ni = jax.lax.fori_loop(
+            0, n_mtiles, tile,
+            (jnp.full((1, qt), inf), jnp.full((1, qt), imax)),
+        )
+        dist_ref[0, i, :] = jnp.sqrt(jnp.maximum(nd, 0.0))[0]
+        idx_ref[0, i, :] = ni[0]
+        last_i = ni
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _knn_exact_pallas(query_t: Array, points: Array, k: int,
-                      interpret: bool = False) -> Tuple[Array, Array]:
+                      interpret: bool = False,
+                      emit: str = "lex") -> Tuple[Array, Array]:
     B, _, Np = query_t.shape
     Mp = points.shape[1]
-    kernel = functools.partial(_knn_exact_kernel, k, Mp // _TM)
+    kfn = (_knn_exact_kernel_removal if emit == "removal"
+           else _knn_exact_kernel)
+    kernel = functools.partial(kfn, k, Mp // _TM)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -417,7 +493,8 @@ def _knn_exact_pallas(query_t: Array, points: Array, k: int,
 
 
 def knn_exact(
-    k: int, query: Array, points: Array, interpret: bool = False
+    k: int, query: Array, points: Array, interpret: bool = False,
+    emit: str | None = None,
 ) -> Tuple[Array, Array]:
     """EXACT k-nearest-neighbors via the fused Pallas kernel.
 
@@ -442,7 +519,8 @@ def knn_exact(
     q_t = jnp.swapaxes(query, 1, 2).astype(jnp.float32)
     if np_ != N:
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
-    dist, idx = _knn_exact_pallas(q_t, p, k, interpret)
+    dist, idx = _knn_exact_pallas(
+        q_t, p, k, interpret, _EXACT_EMIT_ENV if emit is None else emit)
     return (
         jnp.swapaxes(dist, 1, 2)[:, :N],
         jnp.swapaxes(idx, 1, 2)[:, :N],

@@ -223,21 +223,23 @@ def _np_knn(k, q, p):
     return np.sqrt(np.take_along_axis(d2, idx, axis=-1)), idx
 
 
+@pytest.mark.parametrize("emit", ["lex", "removal"])
 @pytest.mark.parametrize("n,m,k", [(600, 1500, 16), (128, 1024, 3),
                                    (257, 1025, 32), (1024, 2048, 1)])
-def test_exact_knn_matches_oracle(n, m, k):
+def test_exact_knn_matches_oracle(n, m, k, emit):
     from ogc_tpu.ops.pallas_knn import knn_exact
 
     rng = np.random.RandomState(7)
     q = jnp.asarray(30 * rng.rand(2, n, 3).astype(np.float32))
     p = jnp.asarray(30 * rng.rand(2, m, 3).astype(np.float32))
-    d, i = knn_exact(k, q, p, interpret=True)
+    d, i = knn_exact(k, q, p, interpret=True, emit=emit)
     want_d, want_i = _np_knn(k, np.asarray(q), np.asarray(p))
     np.testing.assert_array_equal(np.asarray(i), want_i)
     np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-6, atol=1e-6)
 
 
-def test_exact_knn_ties_by_lower_index():
+@pytest.mark.parametrize("emit", ["lex", "removal"])
+def test_exact_knn_ties_by_lower_index(emit):
     """Duplicated candidate points (exactly equal d2 — the bucket-padded
     production case) must resolve toward the lower index, like the
     reference's stable insertion sort."""
@@ -247,7 +249,8 @@ def test_exact_knn_ties_by_lower_index():
     p = 10 * rng.rand(1, 1100, 3).astype(np.float32)
     p[0, 550:] = p[0, :550]          # every point duplicated once
     q = p[:, :64].copy()
-    d, i = knn_exact(4, jnp.asarray(q), jnp.asarray(p), interpret=True)
+    d, i = knn_exact(4, jnp.asarray(q), jnp.asarray(p), interpret=True,
+                     emit=emit)
     want_d, want_i = _np_knn(4, q, p)
     np.testing.assert_array_equal(np.asarray(i), want_i)
     # self first, its duplicate (index + 550) second

@@ -75,20 +75,29 @@ def main():
             return core._knn_jit.__wrapped__(k, q, p, 4096, True, 1.0)
 
         def krn_arm(q, p, k=k):
-            return knn_exact(k, q, p)
+            return knn_exact(k, q, p, emit="lex")
+
+        def krn_rm_arm(q, p, k=k):
+            return knn_exact(k, q, p, emit="removal")
 
         # correctness first (indices must agree on tie-free random clouds)
         i_x = jax.jit(lambda q, p: xla_arm(q, p)[1])(q, p)
         i_k = jax.jit(lambda q, p: krn_arm(q, p)[1])(q, p)
-        eq = bool(jnp.all(i_x == i_k))
+        i_r = jax.jit(lambda q, p: krn_rm_arm(q, p)[1])(q, p)
+        eq = bool(jnp.all(i_x == i_k)) and bool(jnp.all(i_x == i_r))
 
         t_x = make_timed(lambda p_, q_: xla_arm(q_, p_))(p, q)
         t_k = make_timed(lambda p_, q_: krn_arm(q_, p_))(p, q)
+        t_r = make_timed(lambda p_, q_: krn_rm_arm(q_, p_))(p, q)
         row = dict(op=f"knn n{n} m{m} k{k}", xla_ms=t_x * 1e3,
-                   kernel_ms=t_k * 1e3, speedup=t_x / t_k, idx_equal=eq)
+                   kernel_ms=t_k * 1e3, speedup=t_x / t_k,
+                   removal_ms=t_r * 1e3, removal_vs_lex=t_k / t_r,
+                   idx_equal=eq)
         results.append(row)
-        print(f"[{row['op']}] xla {row['xla_ms']:.2f} ms | kernel "
-              f"{row['kernel_ms']:.2f} ms | {row['speedup']:.2f}x | "
+        print(f"[{row['op']}] xla {row['xla_ms']:.2f} ms | kernel(lex) "
+              f"{row['kernel_ms']:.2f} ms ({row['speedup']:.2f}x) | "
+              f"removal {row['removal_ms']:.2f} ms "
+              f"(vs lex {row['removal_vs_lex']:.2f}x) | "
               f"idx_equal={eq}", file=sys.stderr, flush=True)
 
     # --- ball-query arms --------------------------------------------------
