@@ -320,10 +320,18 @@ _QT_EXACT = 128  # exact modes keep an un-thinned (Mp, qt) scratch resident;
 # Exact-kernel emission scheme: "lex" = lexicographic (d2, idx) eligibility
 # test per round (~12 VPU ops/element); "removal" = destructively mark the
 # previous round's winner +inf in the VMEM d2 scratch, reducing each round
-# to a plain min scan (~8 ops/element + one store).  Read at import like
-# the other kernel A/B switches; flip the default only on a measured
-# on-chip win (tools/bench_knn_exact.py --emit).
-_EXACT_EMIT_ENV = os.environ.get("OGC_PALLAS_EXACT_EMIT", "lex")
+# to a plain min scan (~8 ops/element + one store).  On-chip A/B
+# (tools/bench_knn_exact.py, 2026-08-19): removal 1.11x/1.13x at
+# k=16/32 @ 8192x8192, 0.98x at k=3 (3-NN), indices bit-equal everywhere —
+# so "auto" picks removal for k >= 8 and lex below.  Env overrides for
+# A/B re-runs.
+_EXACT_EMIT_ENV = os.environ.get("OGC_PALLAS_EXACT_EMIT", "auto")
+
+
+def _resolve_exact_emit(mode: str, k: int) -> str:
+    if mode == "auto":
+        return "removal" if k >= 8 else "lex"
+    return mode
 
 
 def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
@@ -520,7 +528,8 @@ def knn_exact(
     if np_ != N:
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
     dist, idx = _knn_exact_pallas(
-        q_t, p, k, interpret, _EXACT_EMIT_ENV if emit is None else emit)
+        q_t, p, k, interpret,
+        _resolve_exact_emit(_EXACT_EMIT_ENV if emit is None else emit, k))
     return (
         jnp.swapaxes(dist, 1, 2)[:, :N],
         jnp.swapaxes(idx, 1, 2)[:, :N],

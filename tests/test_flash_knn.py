@@ -225,7 +225,8 @@ def _np_knn(k, q, p):
 
 @pytest.mark.parametrize("emit", ["lex", "removal"])
 @pytest.mark.parametrize("n,m,k", [(600, 1500, 16), (128, 1024, 3),
-                                   (257, 1025, 32), (1024, 2048, 1)])
+                                   (257, 1025, 32), (1024, 2048, 1),
+                                   (200, 3000, 16)])
 def test_exact_knn_matches_oracle(n, m, k, emit):
     from ogc_tpu.ops.pallas_knn import knn_exact
 

@@ -66,7 +66,10 @@ def main():
         return q, p
 
     # --- KNN arms ---------------------------------------------------------
-    for n, m, k in [(8192, 8192, 16), (8192, 8192, 32), (8192, 2048, 3)]:
+    # (2048, 8192, 64) is the segnet SA1 QueryAndGroup shape — the parity
+    # seg forward's dominant exact search (models/segnet.py kitti arch).
+    for n, m, k in [(8192, 8192, 16), (8192, 8192, 32), (8192, 2048, 3),
+                    (2048, 8192, 64)]:
         q, p = clouds(n, m)
 
         def xla_arm(q, p, k=k):

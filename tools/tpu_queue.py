@@ -69,8 +69,13 @@ DEFAULT = ("pool,bench,benchoff,knnext,knnab,benchtrain,prefixprof,seg,"
 
 
 def probe(timeout=300):
-    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
-            "print(float((x @ x).sum()))")
+    # Persistent compilation cache: when the relay is merely SLOW (cold
+    # compile helper), the first probe pays the compile and later probes
+    # hit the cache instead of timing out identically.
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.config.update('jax_compilation_cache_dir', "
+            "'/root/.jax_cache'); "
+            "x = jnp.ones((8, 8)); print(float((x @ x).sum()))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
                            capture_output=True, text=True, cwd=REPO)
@@ -90,8 +95,10 @@ def main():
     os.makedirs(LOGDIR, exist_ok=True)
 
     print("probing TPU relay ...", flush=True)
-    for attempt in range(3):
-        if probe():
+    for attempt in range(4):
+        # Final attempt gets a long leash: a degraded-but-alive relay has
+        # been observed taking ~5 min for a trivial compile.
+        if probe(timeout=300 if attempt < 3 else 900):
             break
         print(f"probe attempt {attempt + 1} failed", flush=True)
         time.sleep(60)
