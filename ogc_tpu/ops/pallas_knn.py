@@ -467,10 +467,11 @@ def _knn_exact_kernel_removal(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
         last_i = ni
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _knn_exact_pallas(query_t: Array, points: Array, k: int,
                       interpret: bool = False,
-                      emit: str = "lex") -> Tuple[Array, Array]:
+                      emit: str = "lex",
+                      qt: int = _QT_EXACT) -> Tuple[Array, Array]:
     B, _, Np = query_t.shape
     Mp = points.shape[1]
     kfn = (_knn_exact_kernel_removal if emit == "removal"
@@ -482,22 +483,33 @@ def _knn_exact_pallas(query_t: Array, points: Array, k: int,
             jax.ShapeDtypeStruct((B, k, Np), jnp.float32),
             jax.ShapeDtypeStruct((B, k, Np), jnp.int32),
         ),
-        grid=(B, Np // _QT_EXACT),
+        grid=(B, Np // qt),
         in_specs=[
-            pl.BlockSpec((1, 3, _QT_EXACT), lambda b, q: (b, 0, q),
+            pl.BlockSpec((1, 3, qt), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Mp, 3), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, k, _QT_EXACT), lambda b, q: (b, 0, q),
+            pl.BlockSpec((1, k, qt), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, _QT_EXACT), lambda b, q: (b, 0, q),
+            pl.BlockSpec((1, k, qt), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((Mp, _QT_EXACT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Mp, qt), jnp.float32)],
         interpret=interpret,
     )(query_t, points)
+
+
+def _exact_qt(mp: int) -> int:
+    """Query-tile width for the exact kernel: wider tiles amortize
+    per-grid-step overhead, but the un-thinned (Mp, qt) f32 scratch must
+    stay within VMEM (~16 MB, minus in/out blocks).  OGC_PALLAS_EXACT_QT
+    overrides for A/B sweeps."""
+    env = os.environ.get("OGC_PALLAS_EXACT_QT")
+    if env:
+        return int(env)
+    return _QT_EXACT
 
 
 def knn_exact(
@@ -518,7 +530,8 @@ def knn_exact(
     M = points.shape[1]
     assert k <= M, (k, M)
     mp = -(-M // _TM) * _TM
-    np_ = -(-N // _QT_EXACT) * _QT_EXACT
+    qt = _exact_qt(mp)
+    np_ = -(-N // qt) * qt
     p = points.astype(jnp.float32)
     if mp != M:
         # Far-away pads: d2 ~ 1e12 >> any real scene distance, and k <= M
@@ -529,7 +542,8 @@ def knn_exact(
         q_t = jnp.pad(q_t, ((0, 0), (0, 0), (0, np_ - N)))
     dist, idx = _knn_exact_pallas(
         q_t, p, k, interpret,
-        _resolve_exact_emit(_EXACT_EMIT_ENV if emit is None else emit, k))
+        _resolve_exact_emit(_EXACT_EMIT_ENV if emit is None else emit, k),
+        qt)
     return (
         jnp.swapaxes(dist, 1, 2)[:, :N],
         jnp.swapaxes(idx, 1, 2)[:, :N],
@@ -559,7 +573,8 @@ def ball_query_exact(
     M = xyz.shape[1]
     assert nsample <= M, (nsample, M)
     mp = -(-M // _TM) * _TM
-    np_ = -(-N // _QT_EXACT) * _QT_EXACT
+    qt = _exact_qt(mp)
+    np_ = -(-N // qt) * qt
     p = xyz.astype(jnp.float32)
     if mp != M:
         p = jnp.pad(p, ((0, 0), (0, mp - M), (0, 0)), constant_values=1e6)
@@ -569,7 +584,7 @@ def ball_query_exact(
     _, idx = _knn_pallas(
         q_t, p, nsample, 1, interpret,
         ball_r2=float(radius) * float(radius),
-        extract="iter", qt=_QT_EXACT,
+        extract="iter", qt=qt,
     )
     return jnp.swapaxes(idx, 1, 2)[:, :N]
 

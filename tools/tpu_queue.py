@@ -56,6 +56,7 @@ STEPS = {
     "abl8k_gr": (["python", "tools/ablate_approx_knn.py", "--ablate",
                   "graph", "--seeds", "5", "--n_points", "8192"], 5400),
     "knnexact": (["python", "tools/bench_knn_exact.py"], 2400),
+    "exactqt": (["python", "tools/bench_exact_qt.py"], 2400),
     "benchdec": (["python", "bench.py", "--decompose"], 3600),
     "roofline": (["python", "tools/roofline.py"], 2400),
     "rooftrain": (["python", "tools/roofline.py", "--train"], 2400),
