@@ -142,7 +142,7 @@ def main():
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
-                     graph="mutual"):
+                     graph="mutual", remat="off"):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -157,6 +157,7 @@ def main():
             aug_transform_epoch=9999, ignore_npoint_thresh=50,
             exp_base="/tmp/ogc_bench_train",
             mesh=pmesh.make_mesh(jax.devices()[:1]),
+            remat=remat,
         )
 
         def step(p, o, pcs, flows):
@@ -167,24 +168,32 @@ def main():
 
         return step
 
-    for name, w, sym, mon, graph in [
+    for name, w, sym, mon, graph, remat in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
-         "mutual"),
-        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual"),
+         "mutual", "off"),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual",
+         "off"),
         ("+ smooth mutual graph (default: exact scatter-free grad)",
-         (0.0, 0.1, 0.0), False, True, "mutual"),
+         (0.0, 0.1, 0.0), False, True, "mutual", "off"),
         ("+ smooth reference graph (autodiff scatter-add)",
-         (0.0, 0.1, 0.0), False, True, "reference"),
+         (0.0, 0.1, 0.0), False, True, "reference", "off"),
         ("full, reference graph (parity mode)",
-         (10.0, 0.1, 0.1), False, True, "reference"),
+         (10.0, 0.1, 0.1), False, True, "reference", "off"),
         ("full, reference graph + symmetric_smooth_grad (approx)",
-         (10.0, 0.1, 0.1), True, True, "reference"),
+         (10.0, 0.1, 0.1), True, True, "reference", "off"),
         # Production-fast path: mutual graph + static skip of monitor-only
         # computations (no scalar logging).
         ("full, mutual + monitor_terms off", (10.0, 0.1, 0.1), False, False,
-         "mutual"),
+         "mutual", "off"),
+        # Remat arms: the step is HBM-bound (95.9% byte roofline, MFU ~1%)
+        # so recomputing forward activations in the backward instead of
+        # storing them is the remaining bytes lever.  Identical math.
+        ("full, mutual + remat=full (bwd recomputes fwd)",
+         (10.0, 0.1, 0.1), False, True, "mutual", "full"),
+        ("full, mutual + remat=dots (save matmul outputs)",
+         (10.0, 0.1, 0.1), False, True, "mutual", "dots"),
     ]:
-        t, _ = timed_scan(ablated_step(w, sym, mon, graph))(
+        t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

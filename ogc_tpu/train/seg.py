@@ -55,6 +55,31 @@ def make_optimizer(lr, lr_decay, lr_clip, decay_step, batch_size, weight_decay=0
     return optax.apply_if_finite(optax.chain(*parts), max_consecutive_errors=10**8)
 
 
+def _resolve_remat(remat: Optional[str]) -> Optional[str]:
+    """Resolve the remat mode at trainer construction (NOT inside jit —
+    jit caches would pin the first trace's env read, CLAUDE.md)."""
+    if remat is None:
+        remat = os.environ.get("OGC_REMAT", "")
+    remat = (remat or "").lower()
+    if remat in ("", "off", "0", "none"):
+        return None
+    if remat not in ("full", "dots"):
+        raise ValueError(
+            f"remat must be one of off/full/dots, got {remat!r}"
+        )
+    return remat
+
+
+def _remat_wrap(fn, mode: Optional[str]):
+    """Wrap `fn` in jax.checkpoint per the resolved remat mode."""
+    if mode is None:
+        return fn
+    policy = (
+        jax.checkpoint_policies.dots_saveable if mode == "dots" else None
+    )
+    return jax.checkpoint(fn, policy=policy)
+
+
 class SegTrainer:
     def __init__(
         self,
@@ -69,6 +94,7 @@ class SegTrainer:
         writer=None,
         frame_stride: int = 1,
         manual_spmd=None,
+        remat: Optional[str] = None,
     ):
         """:param frame_stride: subsample the item's frame axis (Waymo items
         duplicate the single frame; the reference takes pcs[:, ::2],
@@ -81,9 +107,19 @@ class SegTrainer:
         the dispatch gates would fall back to XLA paths).  Math identical:
         per-device local loss means + a pmean over gradients equal the
         global-batch mean (equal padded local sizes); the segnet has no
-        cross-sample statistics (GroupNorm is per-sample)."""
+        cross-sample statistics (GroupNorm is per-sample).
+        :param remat: rematerialization of the model forward under grad
+        (`jax.checkpoint`): None/"off" stores the grouped SA/FP
+        activations for the backward (XLA default), "full" saves nothing
+        (backward recomputes the whole forward), "dots" saves matmul
+        outputs only (`dots_saveable`).  The train step is HBM-bound at
+        ~96% of the byte roofline (BENCHLOG r3 roofline) while MXU
+        utilization is ~1%, so trading recompute FLOPs for saved-
+        activation traffic is the remaining lever; the math is identical
+        (same ops re-executed).  Defaults from $OGC_REMAT."""
         self.model = model
         self.loss_cfg = loss_cfg
+        self.remat = _resolve_remat(remat)
         self.frame_stride = frame_stride
         self.optimizer = optimizer
         self.aug_transform_epoch = aug_transform_epoch
@@ -145,7 +181,16 @@ class SegTrainer:
     def _forward_masks(self, params, pcs, train=False):
         B, T, N, _ = pcs.shape
         flat = pcs.reshape(B * T, N, 3)
-        masks = self.model.apply(params, flat, flat, train=train)
+
+        def apply(p, x):
+            return self.model.apply(p, x, x, train=train)
+
+        if train:
+            # Only the differentiated (train) forward benefits: remat
+            # changes WHICH intermediates the backward reads from HBM
+            # (recompute instead of store), never the math.
+            apply = _remat_wrap(apply, self.remat)
+        masks = apply(params, flat)
         return masks.reshape(B, T, N, -1)
 
     def _loss(self, params, pcs, flows, it_samples, step_w, aug,

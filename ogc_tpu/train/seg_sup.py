@@ -25,14 +25,20 @@ from ogc_tpu.utils.meters import AverageMeter
 class SupSegTrainer:
     def __init__(self, model, params, loss_cfg: SupLossConfig, optimizer,
                  ignore_npoint_thresh, exp_base, mesh=None, writer=None,
-                 manual_spmd=None):
+                 manual_spmd=None, remat=None):
         """:param manual_spmd: shard_map the steps (None = auto: manual on
         >1-device meshes — keeps the Mosaic kernels on multi-chip; the
         segnet has no cross-sample statistics, so pmean'ing gradients and
         loss scalars over the equal padded shards is exactly the GSPMD
-        global-batch math; see SegTrainer)."""
+        global-batch math; see SegTrainer).
+        :param remat: model-forward rematerialization under grad — see
+        SegTrainer (off/full/dots, default from $OGC_REMAT)."""
+        from ogc_tpu.train.seg import _remat_wrap, _resolve_remat
+
         self.model = model
         self.loss_cfg = loss_cfg
+        self.remat = _resolve_remat(remat)
+        self._remat_wrap = _remat_wrap
         self.optimizer = optimizer
         self.ignore_npoint_thresh = ignore_npoint_thresh
         self.exp_base = exp_base
@@ -104,7 +110,12 @@ class SupSegTrainer:
         return int(state["epoch"])
 
     def _loss(self, params, pc, gt_mask, valid, train=False):
-        mask = self.model.apply(params, pc, pc, train=train)
+        def apply(p, x):
+            return self.model.apply(p, x, x, train=train)
+
+        if train:  # remat only matters under grad (see SegTrainer)
+            apply = self._remat_wrap(apply, self.remat)
+        mask = apply(params, pc)
         loss, ld = supervised_mask_loss(mask, gt_mask, valid, self.loss_cfg)
         return loss, (ld, mask)
 

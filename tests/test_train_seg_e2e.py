@@ -83,6 +83,53 @@ def test_train_reduces_loss(tiny_setup, tmp_path):
     assert chex_equal
 
 
+@pytest.mark.parametrize("remat", ["full", "dots"])
+def test_remat_train_step_matches_default(tiny_setup, tmp_path, remat):
+    """jax.checkpoint remat modes re-execute the same forward ops in the
+    backward instead of loading stored activations — the resulting update
+    must match the default step (up to fp reassociation from different
+    fusion)."""
+    _, train_set, _, model, params = tiny_setup
+    optimizer = make_optimizer(1e-3, 0.7, 1e-5, 200000, 2)
+
+    def make(remat_mode):
+        return SegTrainer(
+            model=model, params=params,
+            loss_cfg=OGCLossConfig(weights=(10.0, 0.1, 0.1),
+                                   start_steps=(0, 0, 0)),
+            optimizer=optimizer,
+            aug_transform_epoch=9999, ignore_npoint_thresh=0,
+            exp_base=str(tmp_path / f"exp_remat_{remat_mode}"),
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+            remat=remat_mode,
+        )
+
+    base, rm = make("off"), make(remat)
+    assert base.remat is None and rm.remat == remat
+    batch = next(iter(DataLoader(train_set, batch_size=2, shuffle=False,
+                                 num_workers=1)))
+    ld0, _, _ = base.train_it(0, batch)
+    ld1, _, _ = rm.train_it(0, batch)
+    assert np.allclose(ld0["sum"], ld1["sum"], rtol=1e-5, atol=1e-6)
+    for (a, b) in zip(jax.tree_util.tree_leaves(base.params),
+                      jax.tree_util.tree_leaves(rm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_remat_env_resolution(monkeypatch):
+    from ogc_tpu.train.seg import _resolve_remat
+
+    assert _resolve_remat("off") is None
+    assert _resolve_remat("FULL") == "full"
+    monkeypatch.setenv("OGC_REMAT", "dots")
+    assert _resolve_remat(None) == "dots"
+    monkeypatch.setenv("OGC_REMAT", "")
+    assert _resolve_remat(None) is None
+    with pytest.raises(ValueError):
+        _resolve_remat("bogus")
+
+
 def test_trainer_full_loop_runs(tiny_setup, tmp_path):
     _, train_set, val_set, model, params = tiny_setup
     optimizer = make_optimizer(1e-3, 0.7, 1e-5, 200000, 2)

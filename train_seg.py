@@ -90,6 +90,11 @@ def main():
                         help="Which round of iterative optimization")
     parser.add_argument("--resume", default=False, action="store_true",
                         help="Resume from <save_path>_R<round>/current.ckpt")
+    parser.add_argument("--remat", type=str, default=None,
+                        choices=["off", "full", "dots"],
+                        help="Rematerialize the model forward in the "
+                             "backward (recompute instead of storing "
+                             "activations; default $OGC_REMAT or off)")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -138,6 +143,7 @@ def main():
         exp_base=exp_base,
         mesh=mesh,
         writer=writer,
+        remat=args.remat,
     )
     start_epoch = 1
     if args.resume:

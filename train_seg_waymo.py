@@ -33,6 +33,11 @@ def main():
                         help="Resume from the experiment dir's `current` "
                              "checkpoint (full train state; the reference "
                              "restarts at epoch 1)")
+    parser.add_argument("--remat", type=str, default=None,
+                        choices=["off", "full", "dots"],
+                        help="Rematerialize the model forward in the "
+                             "backward (recompute instead of storing "
+                             "activations; default $OGC_REMAT or off)")
     parser.add_argument("--round", type=int, default=0)
     args = parser.parse_args()
     load_config_into_args(args)
@@ -103,6 +108,7 @@ def main():
         mesh=pmesh.make_mesh(),
         writer=make_writer(osp.join(exp_base, "log")),
         frame_stride=2,  # Waymo items duplicate the single (backward) frame
+        remat=args.remat,
     )
     start_epoch = 1
     if args.resume:

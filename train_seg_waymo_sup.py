@@ -34,6 +34,11 @@ def main():
                         help="Resume from the experiment dir's `current` "
                              "checkpoint (full train state; the reference "
                              "restarts at epoch 1)")
+    parser.add_argument("--remat", type=str, default=None,
+                        choices=["off", "full", "dots"],
+                        help="Rematerialize the model forward in the "
+                             "backward (recompute instead of storing "
+                             "activations; default $OGC_REMAT or off)")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -112,6 +117,7 @@ def main():
         exp_base=args.save_path,
         mesh=pmesh.make_mesh(),
         writer=make_writer(osp.join(args.save_path, "log")),
+        remat=args.remat,
     )
     start_epoch = 1
     if args.resume:
