@@ -120,6 +120,14 @@ class FlowStep3D(nn.Module):
     # equivalence testing; the scanned path is the default — same math, one
     # compiled step body).
     unroll_refine: bool = False
+    # Rematerialize each scanned GRU refinement iteration in the backward
+    # (nn.remat around the scan body): the bwd recomputes an iteration's
+    # intra-body activations from its carry instead of loading per-iteration
+    # saved residuals from HBM.  Identical math (same ops re-executed);
+    # training-only effect (eval has no backward).  prevent_cse=False is
+    # safe under nn.scan (the scan boundary already prevents the CSE the
+    # default guards against).
+    remat_refine: bool = False
 
     def _arch(self) -> FlowNetArch:
         return ARCHS[self.arch] if isinstance(self.arch, str) else self.arch
@@ -525,8 +533,23 @@ class FlowStep3D(nn.Module):
         # carry them sequentially (matching the unrolled update order).  In
         # eval they are read-only -> broadcast (a carry that is never written
         # would leave the output carry empty and break the scan contract).
+        body = refine_step
+        if self.remat_refine:
+            from ogc_tpu.ops.core import NEIGHBOR_IDX_CHECKPOINT_NAME
+
+            # Pin the iteration's neighbor indices as saved residuals:
+            # neighbor selection is discontinuous, and a backward-pass
+            # recompute under different fusion can flip a near-tie
+            # neighbor and mis-route gradients (see train.seg._remat_wrap).
+            body = nn.remat(
+                refine_step,
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    NEIGHBOR_IDX_CHECKPOINT_NAME
+                ),
+            )
         scan_refine = nn.scan(
-            refine_step,
+            body,
             variable_broadcast=("params", "batch_stats") if not train
             else "params",
             variable_carry="batch_stats" if train else (),

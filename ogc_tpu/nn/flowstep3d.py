@@ -388,8 +388,12 @@ class FlowSAModule(nn.Module):
         else:
             dist, idx = ops.knn(self.nsample, new_xyz, xyz)
             if self.radius is not None:
+                from ogc_tpu.ops.core import _tag_idx
+
                 nearest = idx[..., :1]
-                idx = jnp.where(dist > self.radius, nearest, idx)
+                # Tag post-clamp indices for remat policies: the clamp is a
+                # fresh discontinuous selection (see ops.core.query_and_group).
+                idx = _tag_idx(jnp.where(dist > self.radius, nearest, idx))
         grouped, split, fold = self._grouped_inputs(
             xyz, new_xyz, idx, features, train
         )
@@ -419,9 +423,18 @@ class FlowFPModule(nn.Module):
         Callers upsampling between FIXED clouds every refinement iteration
         (flow_up_sample, flownet_kitti.py:224/247) compute this once."""
         dist, idx = ops.three_nn(pos1, pos2)
+        from ogc_tpu.ops.core import _tag_idx
+
         dist = jnp.maximum(dist, 1e-10)
         w = 1.0 / dist
-        return idx, w / jnp.sum(w, axis=-1, keepdims=True)
+        # Tag the normalized stencil weights for remat policies: for
+        # coincident points (the sub-cloud is an FPS SUBSET of the full
+        # cloud, so exact hits are the common case) dist==0 clamps to
+        # 1e-10 and w spans ~1e10 — a backward-pass recompute of the
+        # matmul-form d2 with ~1e-8 fp noise lands at dist~1e-4 instead
+        # and swings the normalized weights O(1).  The stencil is routing
+        # state, like the indices; saving it costs (B, N, 3) floats.
+        return idx, _tag_idx(w / jnp.sum(w, axis=-1, keepdims=True))
 
     @nn.compact
     def __call__(self, pos1, pos2, feature1, feature2, train: bool = True,
@@ -466,9 +479,12 @@ class FlowEmbedding(nn.Module):
         :param pos1/pos2: (B, N, 3); :param feature1/feature2: (B, N, C).
         :return: (pos1, feat_new (B, N, mlp[-1])).
         """
+        from ogc_tpu.ops.core import _tag_idx
+
         dist, idx = ops.knn(self.nsample, pos1, pos2)
         nearest = idx[..., :1]
-        idx = jnp.where(dist > self.radius, nearest, idx)
+        # Tag post-clamp indices for remat policies (see query_and_group).
+        idx = _tag_idx(jnp.where(dist > self.radius, nearest, idx))
 
         from ogc_tpu.nn.layers import compute_dtype
 

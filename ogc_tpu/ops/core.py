@@ -40,6 +40,24 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# Remat-policy tag for index outputs (knn / ball_query /
+# furthest_point_sample).  Neighbor selection is DISCONTINUOUS in the
+# coordinates: under jax.checkpoint the backward-pass recompute may fuse the
+# distance computation differently, flip a near-tie neighbor, and route
+# gradients through a different gather pattern than the primal forward
+# (observed: loss bit-equal, gradient tree 99% mismatched under full remat
+# of the flow model).  Tagging the indices lets the trainers' remat
+# policies pin them as saved residuals — int32 indices are a rounding
+# error next to the activations remat exists to free.  A no-op without an
+# active checkpoint policy.
+NEIGHBOR_IDX_CHECKPOINT_NAME = "neighbor_idx"
+
+
+def _tag_idx(idx: Array) -> Array:
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(idx, NEIGHBOR_IDX_CHECKPOINT_NAME)
+
 # Query-chunk size for brute-force neighbor searches.  Bounds the materialized
 # (chunk, M) distance tile so 8192x8192 problems stay well inside VMEM-friendly
 # working sets; XLA pipelines the sequential chunks.
@@ -151,8 +169,8 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     if pallas_available() and N % 128 == 0 and N >= 256:
         from ogc_tpu.ops.pallas_kernels import fps_pallas_chunked
 
-        return fps_pallas_chunked(xyz, npoint)
-    return _furthest_point_sample_xla(xyz, npoint)
+        return _tag_idx(fps_pallas_chunked(xyz, npoint))
+    return _tag_idx(_furthest_point_sample_xla(xyz, npoint))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -420,7 +438,8 @@ def knn(
         exact = _EXACT_DEFAULT
     if recall_target is None:
         recall_target = _RECALL_LARGE_K if k >= 8 else _RECALL_SMALL_K
-    return _knn_jit(k, query, points, chunk, exact, recall_target)
+    dist, idx = _knn_jit(k, query, points, chunk, exact, recall_target)
+    return dist, _tag_idx(idx)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -519,7 +538,10 @@ def interpolate_weights(
     """
     dist, idx = three_nn(unknown, known)
     recip = 1.0 / (dist + eps)
-    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    # Tagged like the indices: near-coincident points make 1/dist span
+    # ~8 decades, so recompute fp noise in dist swings the normalized
+    # weights O(1) (see FlowFPModule.weights).
+    weight = _tag_idx(recip / jnp.sum(recip, axis=-1, keepdims=True))
     return idx, weight
 
 
@@ -564,7 +586,9 @@ def ball_query(
     """
     if exact is None:
         exact = _EXACT_DEFAULT
-    return _ball_query_jit(radius, nsample, xyz, new_xyz, exact, chunk)
+    return _tag_idx(
+        _ball_query_jit(radius, nsample, xyz, new_xyz, exact, chunk)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
@@ -687,7 +711,11 @@ def query_and_group(
     dist, idx = knn(nsample, new_xyz, xyz)
     if radius is not None:
         nearest = idx[..., :1]
-        idx = jnp.where(dist > radius, nearest, idx)
+        # Tag the POST-clamp indices: the clamp is a fresh discontinuous
+        # selection (dist fp-noise at the radius boundary flips it), so a
+        # remat policy that pins only knn's output would still let the
+        # backward recompute a different routing here.
+        idx = _tag_idx(jnp.where(dist > radius, nearest, idx))
     return group_with_idx(xyz, new_xyz, idx, features, use_xyz)
 
 

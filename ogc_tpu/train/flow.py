@@ -49,14 +49,23 @@ class FlowTrainer:
         mesh=None,
         writer=None,
         manual_spmd=None,
+        remat=None,
     ):
         """:param manual_spmd: partition the train/eval steps via shard_map
         instead of GSPMD — None (default) = automatic: manual whenever the
         mesh has >1 device, keeping the Mosaic kernels on multi-chip (see
         SegTrainer).  BatchNorm batch statistics pmean across the mesh
         inside the manual region (SchedulableBatchNorm), matching GSPMD's
-        global-batch statistics exactly."""
+        global-batch statistics exactly.
+        :param remat: whole-model-forward rematerialization under grad —
+        off/full/dots, default from $OGC_REMAT (see SegTrainer).  For
+        per-GRU-iteration remat use the model's `remat_refine` flag
+        instead (scan-body nn.remat)."""
+        from ogc_tpu.train.seg import _remat_wrap, _resolve_remat
+
         self.model = model
+        self.remat = _resolve_remat(remat)
+        self._remat_wrap = _remat_wrap
         self.model_iters = model_iters
         self.loss_cfg = loss_cfg
         self.optimizer = optimizer
@@ -145,12 +154,19 @@ class FlowTrainer:
 
     def _train_step_impl(self, params, batch_stats, opt_state, pc1, pc2,
                          gt_flow, bnm, pmean_grads=False):
-        def loss_fn(p):
-            flow_preds, new_vars = self.model.apply(
+        def apply(p):
+            return self.model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 pc1, pc2, pc1, pc2, self.model_iters,
                 train=True, bn_momentum=bnm, mutable=["batch_stats"],
             )
+
+        # Whole-forward remat (no-op when self.remat is None).  The aux
+        # batch_stats output rides through jax.checkpoint unchanged.
+        apply = self._remat_wrap(apply, self.remat)
+
+        def loss_fn(p):
+            flow_preds, new_vars = apply(p)
             loss, ld = flowstep3d_loss(pc1, pc2, flow_preds, self.loss_cfg)
             return loss, (ld, flow_preds, new_vars["batch_stats"])
 

@@ -71,11 +71,29 @@ def _resolve_remat(remat: Optional[str]) -> Optional[str]:
 
 
 def _remat_wrap(fn, mode: Optional[str]):
-    """Wrap `fn` in jax.checkpoint per the resolved remat mode."""
+    """Wrap `fn` in jax.checkpoint per the resolved remat mode.
+
+    Both policies additionally pin the neighbor/sampling indices
+    (ops.core.NEIGHBOR_IDX_CHECKPOINT_NAME) as saved residuals: neighbor
+    selection is discontinuous in the coordinates, so letting the backward
+    recompute it under different fusion can flip a near-tie neighbor and
+    silently route gradients through a different gather pattern than the
+    primal forward (loss unchanged, gradients wrong).  Saving int32
+    indices costs ~nothing next to the activations remat frees.
+    """
     if mode is None:
         return fn
+    from ogc_tpu.ops.core import NEIGHBOR_IDX_CHECKPOINT_NAME
+
+    pin_idx = jax.checkpoint_policies.save_only_these_names(
+        NEIGHBOR_IDX_CHECKPOINT_NAME
+    )
     policy = (
-        jax.checkpoint_policies.dots_saveable if mode == "dots" else None
+        jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_saveable, pin_idx
+        )
+        if mode == "dots"
+        else pin_idx
     )
     return jax.checkpoint(fn, policy=policy)
 

@@ -30,6 +30,13 @@ def main():
     parser.add_argument("--resume", default=False, action="store_true",
                         help="Resume from <save_path>/current (full train "
                              "state; the reference restarts at epoch 1)")
+    parser.add_argument("--remat", type=str, default=None,
+                        choices=["off", "full", "dots", "scan"],
+                        help="Rematerialize forward activations in the "
+                             "backward: full/dots = whole-model "
+                             "jax.checkpoint, scan = per-GRU-iteration "
+                             "nn.remat of the refinement scan body "
+                             "(default $OGC_REMAT or off)")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -52,6 +59,7 @@ def main():
         loc_flow_nn=args.flownet["loc_flow_nn"],
         loc_flow_rad=args.flownet["loc_flow_rad"],
         k_decay_fact=args.flownet["k_decay_fact"],
+        remat_refine=args.remat == "scan",
     )
 
     # Only adjacent frame pairs: self-supervised training cannot handle large
@@ -103,6 +111,7 @@ def main():
         bn_schedule=bn_schedule,
         mesh=pmesh.make_mesh(),
         writer=writer,
+        remat=None if args.remat == "scan" else args.remat,
     )
     start_epoch = 1
     if args.resume:
