@@ -15,6 +15,7 @@ against a single scalar host read (the TPU relay makes block_until_ready
 unreliable as a barrier).
 """
 
+import argparse
 import json
 import sys
 import time
@@ -40,6 +41,20 @@ REPS = 5
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--arms", type=str, default=None,
+        help="substring filter on breakdown-arm names (e.g. 'remat' runs "
+             "only the remat A/B arms); default runs all arms",
+    )
+    ap.add_argument(
+        "--skip_headline", action="store_true",
+        help="skip the headline full-step measurement (its 247.7 ms figure "
+             "is the remat=off comparison point, re-measured every queue "
+             "run) and go straight to the filtered arms",
+    )
+    cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -117,24 +132,29 @@ def main():
         )
         return p, o, ld["sum"]
 
-    t_step, compile_s = timed_scan(full_step)(
-        trainer.params, trainer.opt_state, pcs, flows
-    )
-    scenes_per_sec = BATCH / t_step
-    print(
-        json.dumps(
-            {
-                "metric": "kittisf_train_step_scenes_per_sec_per_chip",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/s",
-                "vs_baseline": round(
-                    scenes_per_sec / REFERENCE_A100_TRAIN_SCENES_PER_SEC, 3
-                ),
-            }
+    if not cli.skip_headline:
+        t_step, compile_s = timed_scan(full_step)(
+            trainer.params, trainer.opt_state, pcs, flows
         )
-    )
-    print(f"# train step: {t_step*1e3:.1f} ms/batch, compile {compile_s:.0f}s",
-          file=sys.stderr)
+        scenes_per_sec = BATCH / t_step
+        print(
+            json.dumps(
+                {
+                    "metric": "kittisf_train_step_scenes_per_sec_per_chip",
+                    "value": round(scenes_per_sec, 3),
+                    "unit": "scenes/s",
+                    "vs_baseline": round(
+                        scenes_per_sec / REFERENCE_A100_TRAIN_SCENES_PER_SEC,
+                        3,
+                    ),
+                }
+            )
+        )
+        print(
+            f"# train step: {t_step*1e3:.1f} ms/batch, "
+            f"compile {compile_s:.0f}s",
+            file=sys.stderr,
+        )
 
     # ---- component breakdown ---------------------------------------------
     # Each variant is a REAL optimizer step with some loss weights zeroed:
@@ -193,6 +213,8 @@ def main():
         ("full, mutual + remat=dots (save matmul outputs)",
          (10.0, 0.1, 0.1), False, True, "mutual", "dots"),
     ]:
+        if cli.arms is not None and cli.arms not in name:
+            continue
         t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat))(
             trainer.params, trainer.opt_state, pcs, flows
         )
