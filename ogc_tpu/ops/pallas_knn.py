@@ -501,15 +501,26 @@ def _knn_exact_pallas(query_t: Array, points: Array, k: int,
     )(query_t, points)
 
 
-def _exact_qt(mp: int) -> int:
+def _exact_qt(mp: int, n: int) -> int:
     """Query-tile width for the exact kernel: wider tiles amortize
     per-grid-step overhead, but the un-thinned (Mp, qt) f32 scratch must
     stay within VMEM (~16 MB, minus in/out blocks).  OGC_PALLAS_EXACT_QT
-    overrides for A/B sweeps."""
+    overrides for A/B sweeps.
+
+    Default: qt=256 whenever the scratch fits a 12 MB budget, else 128.
+    On-chip sweep (tools/bench_exact_qt.py, 2026-08-20): 256 is
+    1.13-1.41x over 128 at every parity hot shape (knn 8192x8192 k16
+    26.19->18.61 ms; 3-NN 5.21->4.62; k64 cross 23.52->17.14; ball k64
+    42.22->34.89), indices bit-equal; 512 adds nothing where it fits
+    (4.62->4.62 at Mp=2048) and busts the budget at Mp=8192."""
     env = os.environ.get("OGC_PALLAS_EXACT_QT")
     if env:
         return int(env)
-    return _QT_EXACT
+    # Queries pad up to a qt multiple: a 256-wide tile would DOUBLE the
+    # work for small-query calls (segnet SA3 groups 128 centroids).
+    if n < 256 or mp * 256 * 4 > 12 * 2**20:
+        return _QT_EXACT
+    return 256
 
 
 def knn_exact(
@@ -530,7 +541,7 @@ def knn_exact(
     M = points.shape[1]
     assert k <= M, (k, M)
     mp = -(-M // _TM) * _TM
-    qt = _exact_qt(mp)
+    qt = _exact_qt(mp, N)
     np_ = -(-N // qt) * qt
     p = points.astype(jnp.float32)
     if mp != M:
@@ -573,7 +584,7 @@ def ball_query_exact(
     M = xyz.shape[1]
     assert nsample <= M, (nsample, M)
     mp = -(-M // _TM) * _TM
-    qt = _exact_qt(mp)
+    qt = _exact_qt(mp, N)
     np_ = -(-N // qt) * qt
     p = xyz.astype(jnp.float32)
     if mp != M:
