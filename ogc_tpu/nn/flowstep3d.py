@@ -83,9 +83,16 @@ class SchedulableBatchNorm(nn.Module):
             var = jnp.var(xf, axis=axes)
             n = x.size // features
             if not self.is_initializing():
-                from ogc_tpu.ops.core import manual_data_axis
+                from ogc_tpu.ops.core import (
+                    bn_local_stats_active, manual_data_axis,
+                )
 
-                ax = manual_data_axis()
+                # Under bn_local_stats (FlowTrainer bn_sync="local"), skip
+                # the two per-layer pmeans: normalize with the per-device
+                # batch stats (torch-DataParallel replica semantics) and
+                # let the trainer sync the running-stat pytree with one
+                # fused all-reduce per step.
+                ax = None if bn_local_stats_active() else manual_data_axis()
                 if ax is not None:
                     # Manual-SPMD region (shard_map): x is the per-device
                     # local batch — compute global-batch statistics via

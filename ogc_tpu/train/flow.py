@@ -50,6 +50,7 @@ class FlowTrainer:
         writer=None,
         manual_spmd=None,
         remat=None,
+        bn_sync: str = "local",
     ):
         """:param manual_spmd: partition the train/eval steps via shard_map
         instead of GSPMD — None (default) = automatic: manual whenever the
@@ -60,9 +61,22 @@ class FlowTrainer:
         :param remat: whole-model-forward rematerialization under grad —
         off/full/dots, default from $OGC_REMAT (see SegTrainer).  For
         per-GRU-iteration remat use the model's `remat_refine` flag
-        instead (scan-body nn.remat)."""
+        instead (scan-body nn.remat).
+        :param bn_sync: BatchNorm batch-statistic handling in the manual-
+        SPMD region.  "local" (default): per-device batch stats normalize
+        (torch-DataParallel replica semantics — the reference never syncs
+        BN stats across GPUs) and the running-stat pytree is synced by ONE
+        fused all-reduce per step, instead of 2 latency-bound collectives
+        per BatchNorm application (~200/step through the recurrent unroll
+        at production iters, MULTICHIP r3 audit).  "global": in-layer
+        two-pass pmeans reproducing GSPMD's global-batch statistics
+        exactly (the r2/r3 behavior; pinned against GSPMD in
+        tests/test_sharding.py).  Single-device meshes are identical
+        either way."""
         from ogc_tpu.train.seg import _remat_wrap, _resolve_remat
 
+        assert bn_sync in ("local", "global"), bn_sync
+        self.bn_sync = bn_sync
         self.model = model
         self.remat = _resolve_remat(remat)
         self._remat_wrap = _remat_wrap
@@ -90,11 +104,21 @@ class FlowTrainer:
 
             def train_step(params, batch_stats, opt_state, pc1, pc2,
                            gt_flow, bnm):
-                params, new_stats, opt_state, ld = self._train_step_impl(
-                    params, batch_stats, opt_state, pc1, pc2, gt_flow, bnm,
-                    pmean_grads=True,
-                )
-                # Stats already pmean'd in-layer; grads pmean'd in impl.
+                from ogc_tpu.ops.core import bn_local_stats
+
+                with bn_local_stats(self.bn_sync == "local"):
+                    params, new_stats, opt_state, ld = self._train_step_impl(
+                        params, batch_stats, opt_state, pc1, pc2, gt_flow,
+                        bnm, pmean_grads=True,
+                    )
+                if self.bn_sync == "local":
+                    # The per-layer running-stat updates are LINEAR in the
+                    # local batch moments, so pmean-ing the updated pytree
+                    # equals updating with the pmean'd moments.  One pytree
+                    # pmean lowers to a single tuple-operand all-reduce.
+                    new_stats = jax.lax.pmean(new_stats, axis)
+                # else: stats already pmean'd in-layer.  Grads pmean'd in
+                # impl either way.
                 ld = jax.lax.pmean(ld, axis)
                 return params, new_stats, opt_state, ld
 

@@ -267,37 +267,39 @@ def test_manual_spmd_train_step_matches_gspmd(tmp_path):
     )
 
 
-def test_manual_spmd_flow_step_matches_gspmd(tmp_path):
-    """Flow trainer manual-SPMD parity: BatchNorm batch statistics pmean
-    across the mesh inside the manual region, so running stats, loss
-    scalars, and parameters all match the GSPMD step's global-batch
-    semantics."""
+def _make_flow_trainer(tmp, manual, bn_sync="global", n_devices=8):
     import optax
 
     from ogc_tpu.losses.flow_unsup import FlowLossConfig
     from ogc_tpu.models.flownet import FlowStep3D
     from ogc_tpu.train.flow import FlowTrainer
 
-    def make(tmp, manual):
-        model = FlowStep3D(npoint=64, arch="sapien", loc_flow_nn=4,
-                           loc_flow_rad=0.2)
-        pc0 = jax.numpy.zeros((1, 64, 3))
-        variables = jax.jit(lambda k, a: model.init(k, a, a, a, a, 2))(
-            jax.random.PRNGKey(0), pc0
-        )
-        return FlowTrainer(
-            model=model, variables=variables, model_iters=2,
-            loss_cfg=FlowLossConfig(iters_w=(0.5, 1.0)),
-            # SGD, not Adam: Adam normalizes by |grad|, turning float
-            # reassociation noise on near-zero gradients into +-lr update
-            # flips; SGD keeps updates linear in the gradients, so this
-            # compares the actual gradient math.
-            optimizer=optax.sgd(1e-3), exp_base=str(tmp),
-            mesh=pmesh.make_mesh(jax.devices()[:8]), manual_spmd=manual,
-        )
+    model = FlowStep3D(npoint=64, arch="sapien", loc_flow_nn=4,
+                       loc_flow_rad=0.2)
+    pc0 = jax.numpy.zeros((1, 64, 3))
+    variables = jax.jit(lambda k, a: model.init(k, a, a, a, a, 2))(
+        jax.random.PRNGKey(0), pc0
+    )
+    return FlowTrainer(
+        model=model, variables=variables, model_iters=2,
+        loss_cfg=FlowLossConfig(iters_w=(0.5, 1.0)),
+        # SGD, not Adam: Adam normalizes by |grad|, turning float
+        # reassociation noise on near-zero gradients into +-lr update
+        # flips; SGD keeps updates linear in the gradients, so this
+        # compares the actual gradient math.
+        optimizer=optax.sgd(1e-3), exp_base=str(tmp),
+        mesh=pmesh.make_mesh(jax.devices()[:n_devices]),
+        manual_spmd=manual, bn_sync=bn_sync,
+    )
 
-    tr_g = make(tmp_path / "g", False)
-    tr_m = make(tmp_path / "m", True)
+
+def test_manual_spmd_flow_step_matches_gspmd(tmp_path):
+    """Flow trainer manual-SPMD parity in bn_sync="global" mode: BatchNorm
+    batch statistics pmean across the mesh inside the manual region, so
+    running stats, loss scalars, and parameters all match the GSPMD step's
+    global-batch semantics."""
+    tr_g = _make_flow_trainer(tmp_path / "g", False)
+    tr_m = _make_flow_trainer(tmp_path / "m", True, bn_sync="global")
     rng = np.random.RandomState(0)
     pcs = rng.rand(8, 2, 64, 3).astype(np.float32)
     flows = (0.02 * rng.randn(8, 2, 64, 3)).astype(np.float32)
@@ -315,6 +317,76 @@ def test_manual_spmd_flow_step_matches_gspmd(tmp_path):
                     jax.tree_util.tree_leaves(tr_m.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=1e-6)
+
+
+def test_flow_bn_sync_local_semantics(tmp_path):
+    """bn_sync="local" (the manual-SPMD default): per-device BatchNorm
+    batch stats + ONE fused running-stat all-reduce per step.
+
+    Checks (a) the compiled manual step carries <= 10 all-reduces (vs ~200
+    with in-layer pmeans, MULTICHIP r3); (b) running stats equal the mean
+    over devices of the per-device linear updates — pinned against a
+    single-device oracle run per shard; (c) loss/params stay finite and
+    close to global-stat mode at homogeneous shard statistics."""
+    import re
+
+    tr_l = _make_flow_trainer(tmp_path / "l", True, bn_sync="local")
+    rng = np.random.RandomState(0)
+    pcs = rng.rand(8, 2, 64, 3).astype(np.float32)
+    flows = (0.02 * rng.randn(8, 2, 64, 3)).astype(np.float32)
+    batch = (pcs, None, flows, None)
+
+    # (a) collective census on the lowered manual step.
+    (pc1_d, pc2_d, gtf_d), _ = tr_l._shard(pcs[:, 0], pcs[:, 1], flows[:, 0])
+    txt = tr_l._train_step.lower(
+        tr_l.params, tr_l.batch_stats, tr_l.opt_state,
+        pc1_d, pc2_d, gtf_d, jax.numpy.float32(0.9),
+    ).compile().as_text()
+    n_ar = sum(
+        1 for line in txt.splitlines()
+        if re.search(r"= (.+?) all-reduce(?:-start)?\(", line)
+    )
+    assert 1 <= n_ar <= 10, f"local bn_sync step has {n_ar} all-reduces"
+
+    ld_l = tr_l.train_it(0, batch)
+    assert np.isfinite(ld_l["sum"])
+
+    # (b) running stats == mean over shards of single-device updates.
+    # Single-device manual trainers see exactly one shard each; their BN
+    # updates use that shard's local stats — the local-mode per-device
+    # behavior by construction.
+    oracle_leaves = None
+    for s in range(8):
+        tr_1 = _make_flow_trainer(tmp_path / f"o{s}", True,
+                                  bn_sync="local", n_devices=1)
+        tr_1.train_it(0, (pcs[s:s + 1], None, flows[s:s + 1], None))
+        leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(tr_1.batch_stats)]
+        if oracle_leaves is None:
+            oracle_leaves = [l / 8.0 for l in leaves]
+        else:
+            oracle_leaves = [a + l / 8.0
+                             for a, l in zip(oracle_leaves, leaves)]
+    for got, want in zip(jax.tree_util.tree_leaves(tr_l.batch_stats),
+                         oracle_leaves):
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-4, atol=1e-6)
+
+    # (c) on a 1-device mesh local and global stats coincide — the two
+    # modes must produce bit-identical steps (the multi-device modes
+    # legitimately differ: at B_local=1 per-device batch stats are
+    # per-sample, nothing like the global batch's).
+    tr_1l = _make_flow_trainer(tmp_path / "c_l", True, bn_sync="local",
+                               n_devices=1)
+    tr_1g = _make_flow_trainer(tmp_path / "c_g", True, bn_sync="global",
+                               n_devices=1)
+    small = (pcs[:2], None, flows[:2], None)
+    ld_1l = tr_1l.train_it(0, small)
+    ld_1g = tr_1g.train_it(0, small)
+    np.testing.assert_allclose(ld_1l["sum"], ld_1g["sum"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tr_1l.batch_stats),
+                    jax.tree_util.tree_leaves(tr_1g.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_manual_spmd_sup_trainer_matches_gspmd(tmp_path):
