@@ -13,8 +13,12 @@ Prints per-tensor max-abs / mean-abs deltas and metric-level deltas.
 """
 
 import argparse
+import os.path as osp
+import sys
 
 import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():
