@@ -33,6 +33,9 @@ import numpy as np
 # vs_baseline is conservative).  Full derivation: BASELINE.md §"A100
 # baseline derivation"; constants: tools/baseline_derivation.json.
 REFERENCE_A100_SCENES_PER_SEC = 56.8
+# Same derivation for the full train_seg step (fwd + OGC loss + bwd +
+# Adam): tools/derive_baseline.py --train, BASELINE.md.
+REFERENCE_A100_TRAIN_SCENES_PER_SEC = 51.9
 
 N_POINTS = 8192
 BATCH = 8
@@ -180,11 +183,114 @@ if __name__ == "__main__":
             file=sys.stderr,
         )
 
+    # ---- train step + roofline fields (VERDICT r3 #7: one machine-
+    # readable line carrying fast/parity/train and the byte-roofline
+    # evidence, so rounds compare without BENCHLOG archaeology) ----------
+    set_compute_dtype(jnp.bfloat16)
+    ops.set_exact_neighbors(False)
+    train_sps = train_ms = train_cost_gb = None
+    stream_gbs = None
+    try:
+        from ogc_tpu.losses.seg_unsup import OGCLossConfig
+        from ogc_tpu.parallel import mesh as pmesh
+        from ogc_tpu.train.seg import SegTrainer, make_optimizer
+
+        loss_cfg = OGCLossConfig(
+            weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
+            smooth_w_knn=3.0, smooth_w_ball_q=1.0,
+            knn_k=32, knn_radius=1.0, ball_q_k=64, ball_q_radius=2.0,
+        )
+        segnet_t = MaskFormer3D(
+            n_slot=10, n_point=N_POINTS, arch="kitti",
+            n_transformer_layer=2, transformer_embed_dim=128,
+        )
+        pc0 = jnp.zeros((1, N_POINTS, 3), jnp.float32)
+        t_params = jax.jit(segnet_t.init)(jax.random.PRNGKey(0), pc0, pc0)
+        trainer = SegTrainer(
+            model=segnet_t, params=t_params, loss_cfg=loss_cfg,
+            optimizer=make_optimizer(1e-3, 0.7, 1e-5, 200000, BATCH),
+            aug_transform_epoch=9999, ignore_npoint_thresh=50,
+            exp_base="/tmp/ogc_bench_train",
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+        )
+        rng_t = np.random.RandomState(0)
+        pcs = jnp.asarray(
+            30.0 * rng_t.rand(BATCH, 2, N_POINTS, 3).astype(np.float32))
+        gflows = jnp.asarray(
+            0.5 * rng_t.randn(BATCH, 2, N_POINTS, 3).astype(np.float32))
+
+        def step(p, o, pcs, flows):
+            p, o, ld, _ = trainer._train_step_impl(
+                p, o, pcs, flows, jnp.int32(10**6), False)
+            return p, o, ld["sum"]
+
+        def repeated(p, o, pcs, flows):
+            def body(carry, _):
+                p, o = carry
+                p, o, s = step(p, o, pcs, flows)
+                return (p, o), s
+
+            (_, _), ss = jax.lax.scan(body, (p, o), None, length=5)
+            return ss[-1]
+
+        jitted = jax.jit(repeated)
+        targs = (trainer.params, trainer.opt_state, pcs, gflows)
+        float(jitted(*targs))
+        float(jitted(*targs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(jitted(*targs))
+        t_step = (time.perf_counter() - t0) / (3 * 5)
+        train_ms = t_step * 1e3
+        train_sps = BATCH / t_step
+        ca = jax.jit(step).lower(*targs).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        train_cost_gb = float(ca.get("bytes accessed", 0.0)) / 1e9
+
+        # Quick achievable-stream anchor (same loop-carried form as
+        # tools/roofline_calibrate.py): the honest ceiling to quote
+        # achieved GB/s against — NOT the 819 GB/s paper peak.
+        big = jnp.asarray(rng_t.rand(256, 512, 512).astype(np.float32))
+
+        def stream(x):
+            def body(c, _):
+                return c * 1.000001 + 1e-7, None
+
+            final, _ = jax.lax.scan(body, x, None, length=10)
+            return jnp.sum(final)
+
+        js = jax.jit(stream)
+        float(js(big)); float(js(big))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(js(big))
+        t_s = (time.perf_counter() - t0) / 30
+        stream_gbs = 2 * big.size * 4 / t_s / 1e9
+    except Exception as e:
+        print(f"# train-step bench failed ({type(e).__name__}: {e}); "
+              "emitting fwd-only fields", file=sys.stderr)
+
     print(
         f"# fast mode (bf16 + approx-KNN): {fast_sps:.2f} scenes/s | "
-        f"parity mode (f32 + exact-KNN): {parity_sps:.2f} scenes/s",
+        f"parity mode (f32 + exact-KNN): {parity_sps:.2f} scenes/s"
+        + (f" | train {train_sps:.2f} scenes/s ({train_ms:.1f} ms/batch)"
+           if train_sps else ""),
         file=sys.stderr,
     )
+    extra = {}
+    if train_sps is not None:
+        extra.update(
+            train_value=round(train_sps, 3),
+            train_vs_baseline=round(
+                train_sps / REFERENCE_A100_TRAIN_SCENES_PER_SEC, 3),
+            train_ms_per_batch=round(train_ms, 1),
+            # cost-analysis bytes (counts each buffer USE; over-counts true
+            # HBM traffic under fusion — see BENCHLOG r4 roofline
+            # reconciliation) and the measured achievable stream ceiling.
+            train_cost_gb_per_batch=round(train_cost_gb, 1),
+            stream_anchor_gbs=round(stream_gbs, 0),
+        )
     print(
         json.dumps(
             {
@@ -198,6 +304,7 @@ if __name__ == "__main__":
                 "parity_mode_vs_baseline": round(
                     parity_sps / REFERENCE_A100_SCENES_PER_SEC, 3
                 ),
+                **extra,
                 **(
                     {"parity_exact_kernel_fallback": True}
                     if parity_fallback else {}

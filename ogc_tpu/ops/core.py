@@ -83,6 +83,16 @@ _RECALL_SMALL_K = 0.99
 # OGC_PALLAS_KNN_EXTRACT): set before process start for A/B runs.
 _PALLAS_EXACT_ENV = os.environ.get("OGC_PALLAS_KNN_EXACT", "on")
 
+# Bound-pruned exact kernels (pallas_knn.knn_exact_pruned /
+# ball_query_exact_pruned): Morton-block AABB pruning with a provable
+# theta bound — bit-equal results, several-fold faster at scene scale
+# (on-chip A/B: BENCHLOG r4).  "off" restores the unpruned exact kernels.
+_PALLAS_EXACT_PRUNE_ENV = os.environ.get("OGC_PALLAS_EXACT_PRUNE", "on")
+# Pruning pays a flash pre-pass + Morton sort; below these sizes the
+# unpruned kernel's full scan is already cheap (A/B-calibrated gates).
+_PRUNE_MIN_M = 4096
+_PRUNE_MIN_N = 1024
+
 
 def set_exact_neighbors(exact: bool) -> None:
     """Globally toggle exact neighbor search (default False = approximate)."""
@@ -517,8 +527,19 @@ def _knn_jit(
         # reference CUDA's direct per-coordinate form, so in-band tie
         # order is MORE reference-faithful than square_distance's MXU
         # expansion.  OGC_PALLAS_KNN_EXACT=off restores the XLA path.
-        from ogc_tpu.ops.pallas_knn import knn_exact
+        from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_pruned
 
+        if (
+            _PALLAS_EXACT_PRUNE_ENV == "knn"  # opt-in pending the r4
+            # (cb, qt) sweep: first on-chip A/B measured 0.69-1.01x for
+            # the knn shapes (BENCHLOG r4) — ball pruning wins, knn does
+            # not yet.  tools/bench_prune_sweep.py drives the decision.
+            and M >= _PRUNE_MIN_M
+            and N >= _PRUNE_MIN_N
+        ):
+            # Bound-pruned variant: bit-equal, skips provably-irrelevant
+            # Morton blocks (pallas_knn.knn_exact_pruned).
+            return knn_exact_pruned(k, query, points)
         return knn_exact(k, query, points)
     if N <= chunk:
         d2, idx = _knn_chunk(query, points, k, exact, recall_target)
@@ -661,9 +682,22 @@ def _ball_query_jit(
         # full-sort top_k of the XLA path below.  See
         # pallas_knn.ball_query_exact; OGC_PALLAS_KNN_EXACT=off restores
         # the XLA path.
-        from ogc_tpu.ops.pallas_knn import ball_query_exact
+        from ogc_tpu.ops.pallas_knn import (
+            ball_query_exact, ball_query_exact_pruned,
+        )
 
-        cand = ball_query_exact(radius, nsample, xyz, new_xyz)
+        if (
+            _PALLAS_EXACT_PRUNE_ENV != "off"
+            and N >= _PRUNE_MIN_M
+            and M >= _PRUNE_MIN_M
+        ):
+            # Static-radius AABB pruning, bit-equal: 1.37-1.84x on-chip at
+            # the (8192 centers x 8192 points, ns=64, r=2) smooth-loss
+            # shape; ~1.0-1.25x at 2048 centers, hence the M gate
+            # (BENCHLOG r4 A/B).
+            cand = ball_query_exact_pruned(radius, nsample, xyz, new_xyz)
+        else:
+            cand = ball_query_exact(radius, nsample, xyz, new_xyz)
         return _fill_balls(cand, nsample)
     if M > chunk:
         n_chunks = -(-M // chunk)

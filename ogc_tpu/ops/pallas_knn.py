@@ -601,6 +601,386 @@ def ball_query_exact(
 
 
 # ---------------------------------------------------------------------------
+# Bound-pruned EXACT KNN / ball query: provably-safe candidate-block pruning
+# ---------------------------------------------------------------------------
+
+_CB_EXACT = int(os.environ.get("OGC_PRUNE_CB", "128"))
+# candidate block for the bound-pruned exact kernels: smaller blocks give
+# tighter AABBs (fewer survivors) but a finer append loop; must divide
+# _TM.  OGC_PRUNE_CB / OGC_PRUNE_QT override for on-chip sweeps.
+_PRUNE_QT_ENV = os.environ.get("OGC_PRUNE_QT")
+
+# Relative inflation covering every representation error between the flash
+# pre-pass's reported k-th distance and the true k-th d2: packed-key
+# mantissa truncation (<= 2^-10 relative at M=8192, see module docstring)
+# plus the sqrt->square round trip (~2 ulp).  Applied multiplicatively, so
+# theta >= true k-th d2 PROVABLY and block pruning below stays exact.
+_THETA_INFLATE = 1.0 + 2.0 ** -8
+
+
+def _knn_exact_pruned_kernel(k, cb, order_ref, count_ref,
+                             q_ref, p_ref, pid_ref, dist_ref, idx_ref,
+                             d2_scr, id_scr):
+    """Exact KNN over the tile's SURVIVING candidate blocks only.
+
+    order_ref (1, nbq, nbp) SMEM: per-tile candidate-block ids, survivors
+    first in ascending lower-bound order; count_ref (1, 1, nbq) SMEM: number
+    of surviving blocks.  Phase 1 compacts the survivors' d2 (direct
+    per-coordinate f32 form — bit-equal to _knn_exact_kernel) and ORIGINAL
+    point ids into VMEM scratch; phase 2 is the removal-exact extraction
+    (ascending d2, ties toward the lower original index — reference
+    interpolate_gpu.cu:30-46) over the dynamic-length compacted region.
+    Safety of the pruning is established by the caller: every pruned block
+    has AABB lower bound STRICTLY above an upper bound on the tile's k-th
+    distance, so no pruned candidate can enter any top-k."""
+    qi = pl.program_id(1)
+    cnt = count_ref[0, 0, qi]
+    qx = q_ref[0, 0:1, :]
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
+
+    qt = q_ref.shape[2]
+    inf = jnp.float32(jnp.inf)
+    imax = jnp.int32(2**31 - 1)
+
+    def append(j, _):
+        bid = order_ref[0, qi, j]
+        sl_src = pl.ds(bid * cb, cb)
+        p = p_ref[0, sl_src, :]
+        dx = p[:, 0:1] - qx
+        dy = p[:, 1:2] - qy
+        dz = p[:, 2:3] - qz
+        sl_dst = pl.ds(j * cb, cb)
+        d2_scr[sl_dst, :] = dx * dx + dy * dy + dz * dz
+        id_scr[sl_dst, :] = pid_ref[0, sl_src, :]
+        return 0
+
+    jax.lax.fori_loop(0, cnt, append, 0)
+
+    # Extraction runs over COARSE _TM-row tiles (the unpruned kernel's
+    # granularity — fine cb-row dynamic loops measured ~3x slower than
+    # static-tiled extraction on-chip): pad the compacted region to a _TM
+    # multiple with +inf/imax sentinels, then loop ceil(cnt*cb/_TM) tiles.
+    blocks_per_tile = _TM // cb
+    n_et = (cnt + blocks_per_tile - 1) // blocks_per_tile
+
+    def fill(j, _):
+        sl = pl.ds((cnt + j) * cb, cb)
+        d2_scr[sl, :] = jnp.full((cb, qt), inf)
+        id_scr[sl, :] = jnp.full((cb, 1), imax)
+        return 0
+
+    jax.lax.fori_loop(0, n_et * blocks_per_tile - cnt, fill, 0)
+
+    last_i = jnp.full((1, qt), jnp.int32(-1))
+    for i in range(k):
+        def tile(t, carry, last_i=last_i, remove=(i > 0)):
+            rd, ri = carry
+            sl = pl.ds(t * _TM, _TM)
+            d2 = d2_scr[sl, :]
+            ids = jnp.broadcast_to(id_scr[sl, :], d2.shape)
+            if remove:
+                d2 = jnp.where(ids == last_i, inf, d2)
+                d2_scr[sl, :] = d2
+            nd = jnp.min(d2, axis=0, keepdims=True)
+            ni = jnp.min(jnp.where(d2 == nd, ids, imax),
+                         axis=0, keepdims=True)
+            better = (nd < rd) | ((nd == rd) & (ni < ri))
+            return (jnp.where(better, nd, rd), jnp.where(better, ni, ri))
+
+        nd, ni = jax.lax.fori_loop(
+            0, n_et, tile,
+            (jnp.full((1, qt), inf), jnp.full((1, qt), imax)),
+        )
+        dist_ref[0, i, :] = jnp.sqrt(jnp.maximum(nd, 0.0))[0]
+        idx_ref[0, i, :] = ni[0]
+        last_i = ni
+
+
+def _ball_exact_pruned_kernel(ns, cb, r2, order_ref, count_ref, q_ref,
+                              p_ref, pid_ref, idx_ref, key_scr):
+    """Exact ball query over surviving blocks: compacted keys are the
+    ORIGINAL index for strictly-in-radius candidates (_BALL_INVALID
+    otherwise), and ns ascending-key extractions yield the reference's
+    index-order ball filling (ball_query_gpu.cu:9-45).  Pruning is static:
+    a block survives iff its AABB lower bound < r^2."""
+    qi = pl.program_id(1)
+    cnt = count_ref[0, 0, qi]
+    qx = q_ref[0, 0:1, :]
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
+
+    qt = q_ref.shape[2]
+    big = jnp.int32(2**31 - 1)
+
+    def append(j, _):
+        bid = order_ref[0, qi, j]
+        sl_src = pl.ds(bid * cb, cb)
+        p = p_ref[0, sl_src, :]
+        dx = p[:, 0:1] - qx
+        dy = p[:, 1:2] - qy
+        dz = p[:, 2:3] - qz
+        d2 = dx * dx + dy * dy + dz * dz
+        ids = jnp.broadcast_to(pid_ref[0, sl_src, :], d2.shape)
+        key_scr[pl.ds(j * cb, cb), :] = jnp.where(
+            d2 < r2, ids, jnp.int32(_BALL_INVALID))
+        return 0
+
+    jax.lax.fori_loop(0, cnt, append, 0)
+
+    # Coarse-tile extraction over the padded compacted region (see
+    # _knn_exact_pruned_kernel): INT32_MAX pad keys are >= _BALL_INVALID,
+    # so they behave as always-invalid candidates.
+    blocks_per_tile = _TM // cb
+    n_et = (cnt + blocks_per_tile - 1) // blocks_per_tile
+
+    def fill(j, _):
+        key_scr[pl.ds((cnt + j) * cb, cb), :] = jnp.full((cb, qt), big)
+        return 0
+
+    jax.lax.fori_loop(0, n_et * blocks_per_tile - cnt, fill, 0)
+
+    last = jnp.full((1, qt), jnp.int32(-(2**31)))
+    for i in range(ns):
+        def tile(t, carry, last=last):
+            r = carry
+            keys = key_scr[pl.ds(t * _TM, _TM), :]
+            nxt = jnp.min(jnp.where(keys <= last, big, keys), axis=0,
+                          keepdims=True)
+            return jnp.minimum(r, nxt)
+
+        nxt = jax.lax.fori_loop(
+            0, n_et, tile, jnp.full((1, qt), big))
+        # Empty tail (no surviving block / exhausted balls) emits
+        # INT32_MAX >= _BALL_INVALID — callers' _fill_balls handles it.
+        idx_ref[0, i, :] = nxt[0]
+        last = nxt
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _exact_pruned_pallas(q_t, p, pid, order, count, k, cb, qt,
+                         interpret=False):
+    B, _, Np = q_t.shape
+    Mp = p.shape[1]
+    nbq, nbp = order.shape[1], order.shape[2]
+    count = count.reshape(B, 1, nbq)  # SMEM blocks need 3-D layout
+    kernel = functools.partial(_knn_exact_pruned_kernel, k, cb)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k, Np), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, Np), jnp.int32),
+        ),
+        grid=(B, Np // qt),
+        in_specs=[
+            pl.BlockSpec((1, nbq, nbp), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nbq), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, qt), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 3), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 1), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, qt), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, qt), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            # rounded UP to a _TM multiple: the in-kernel pad fill may
+            # extend the compacted region to the next extraction tile
+            pltpu.VMEM((-(-Mp // _TM) * _TM, qt), jnp.float32),
+            pltpu.VMEM((-(-Mp // _TM) * _TM, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order, count, q_t, p, pid)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _ball_pruned_pallas(q_t, p, pid, order, count, ns, cb, r2, qt,
+                        interpret=False):
+    B, _, Np = q_t.shape
+    Mp = p.shape[1]
+    nbq, nbp = order.shape[1], order.shape[2]
+    count = count.reshape(B, 1, nbq)  # SMEM blocks need 3-D layout
+    kernel = functools.partial(_ball_exact_pruned_kernel, ns, cb, r2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, ns, Np), jnp.int32),
+        grid=(B, Np // qt),
+        in_specs=[
+            pl.BlockSpec((1, nbq, nbp), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nbq), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, qt), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 3), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp, 1), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ns, qt), lambda b, q: (b, 0, q),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((-(-Mp // _TM) * _TM, qt), jnp.int32)],
+        interpret=interpret,
+    )(order, count, q_t, p, pid)
+
+
+def _pruned_prologue(query, points, cb, qt):
+    """Shared Morton-sort + AABB machinery for the pruned-exact paths.
+
+    Returns (q_t (B,3,np_) sorted-padded queries, p_s (B,mp,3) sorted-
+    padded points, pid (B,mp,1) original ids (pads at 2^30), q_s
+    (B,np_,3) sorted-padded queries channels-last (flash pre-pass input),
+    lb2 (B,nbq,nbp) exact AABB-pair lower bounds, qperm_inv (B,N)
+    unsort map)."""
+    B, N, _ = query.shape
+    M = points.shape[1]
+    mp = -(-M // cb) * cb
+    np_ = -(-N // qt) * qt
+
+    pperm = jnp.argsort(morton_codes(points), axis=-1).astype(jnp.int32)
+    p_s = jnp.take_along_axis(
+        points.astype(jnp.float32), pperm[..., None], axis=1, mode="clip")
+    pid = pperm
+    if mp != M:
+        # Pads: far away (never selected while >= k real candidates exist)
+        # and with huge ids (lose every tie).
+        p_s = jnp.pad(p_s, ((0, 0), (0, mp - M), (0, 0)),
+                      constant_values=1e6)
+        pid = jnp.pad(pid, ((0, 0), (0, mp - M)),
+                      constant_values=2**30)
+
+    qperm = jnp.argsort(morton_codes(query), axis=-1).astype(jnp.int32)
+    q_s = jnp.take_along_axis(
+        query.astype(jnp.float32), qperm[..., None], axis=1, mode="clip")
+    if np_ != N:
+        # Repeat the LAST sorted query: pad rows stay scene-scale so the
+        # per-tile theta max is never poisoned by synthetic far points.
+        q_s = jnp.concatenate(
+            [q_s, jnp.broadcast_to(q_s[:, -1:], (B, np_ - N, 3))], axis=1)
+
+    nbp = mp // cb
+    nbq = np_ // qt
+    pvalid = jnp.arange(mp) < M
+    p_lo, p_hi = _block_aabb(p_s, pvalid, nbp, cb)
+    q_lo, q_hi = _block_aabb(q_s, jnp.ones((np_,), bool), nbq, qt)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            q_lo[:, :, None, :] - p_hi[:, None, :, :],
+            p_lo[:, None, :, :] - q_hi[:, :, None, :],
+        ),
+    )
+    lb2 = jnp.sum(gap * gap, axis=-1)              # (B, nbq, nbp)
+
+    inv = jnp.zeros_like(qperm).at[
+        jnp.arange(B)[:, None], qperm
+    ].set(jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)))
+    return (jnp.swapaxes(q_s, 1, 2), p_s, pid[..., None], q_s,
+            lb2, inv)
+
+
+def _survivor_order(lb2, theta_tile):
+    """Compacted survivor block list + count per query tile.
+
+    survive = lb2 <= theta (knn; theta already covers the strict-better
+    requirement: pruned blocks have lb2 > theta >= k-th d2, so every
+    pruned candidate is STRICTLY worse than the k-th).  Survivors sort
+    first in ascending-lb2 order; count = number surviving."""
+    survive = lb2 <= theta_tile[..., None]
+    keyed = jnp.where(survive, lb2, jnp.inf)
+    order = jnp.argsort(keyed, axis=-1).astype(jnp.int32)
+    count = jnp.sum(survive, axis=-1).astype(jnp.int32)
+    return order, count
+
+
+def knn_exact_pruned(
+    k: int, query: Array, points: Array, cb: int = None,
+    qt: int = None, interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """EXACT KNN with provably-safe Morton-block AABB pruning.
+
+    Same contract as knn_exact (ascending d2, ties toward the lower index,
+    d2 in the reference's direct per-coordinate f32 form —
+    interpolate_gpu.cu:30-46) but typically several times faster at scene
+    scale: a flash (approximate) pre-pass yields a per-query upper bound
+    theta on the true k-th d2 (a thinned subset's k-th distance can only
+    overestimate; _THETA_INFLATE covers its packed-key truncation), each
+    Morton-coherent query tile takes theta_tile = max over its queries,
+    and every candidate block whose exact AABB lower bound exceeds
+    theta_tile is skipped — such a block's candidates are all STRICTLY
+    worse than any query's k-th neighbor.  The exact removal-extraction
+    then runs over only the surviving blocks (dynamic count per tile).
+    Worst case (nothing prunable) degrades to ~knn_exact + the flash
+    pre-pass.  Fully deterministic; results bit-equal to knn_exact.
+    """
+    B, N, _ = query.shape
+    M = points.shape[1]
+    assert k <= M, (k, M)
+    cb = cb or _CB_EXACT
+    mp = -(-M // cb) * cb
+    if qt is None:
+        qt = int(_PRUNE_QT_ENV) if _PRUNE_QT_ENV else _exact_qt(mp, N)
+    q_t, p_s, pid, q_s, lb2, inv = _pruned_prologue(query, points, cb, qt)
+    np_ = q_t.shape[2]
+
+    # Flash pre-pass on the SORTED queries (so theta rides tiles directly)
+    # against ORIGINAL-order points (Morton-sorted candidates would
+    # collide in the flash thinning groups and loosen theta).  High recall
+    # target -> small thinning blocks -> tight theta.
+    fd, _ = knn_blockmin(k, q_s, points, recall_target=0.98,
+                         interpret=interpret)
+    theta = (fd[..., k - 1].astype(jnp.float32) ** 2) * _THETA_INFLATE
+    theta_tile = jnp.max(theta.reshape(B, np_ // qt, qt), axis=-1)
+    order, count = _survivor_order(lb2, theta_tile)
+
+    dist, idx = _exact_pruned_pallas(
+        q_t, p_s, pid, order, count, k, cb, qt, interpret)
+    dist = jnp.swapaxes(dist, 1, 2)[:, :N]
+    idx = jnp.swapaxes(idx, 1, 2)[:, :N]
+    dist = jnp.take_along_axis(dist, inv[..., None], axis=1, mode="clip")
+    idx = jnp.take_along_axis(idx, inv[..., None], axis=1, mode="clip")
+    return dist, idx
+
+
+def ball_query_exact_pruned(
+    radius: float, nsample: int, xyz: Array, new_xyz: Array,
+    cb: int = None, qt: int = None, interpret: bool = False,
+) -> Array:
+    """EXACT ball query with static AABB pruning: a block whose lower
+    bound to the query tile is >= r^2 cannot contain a strictly-in-radius
+    point (d2 < r^2 is the reference's membership test,
+    ball_query_gpu.cu:9-45).  Extraction emits the nsample LOWEST original
+    in-radius indices over surviving blocks only.  Same output contract as
+    ball_query_exact (invalid entries >= _BALL_INVALID)."""
+    B, N, _ = new_xyz.shape
+    M = xyz.shape[1]
+    assert nsample <= M, (nsample, M)
+    cb = cb or _CB_EXACT
+    mp = -(-M // cb) * cb
+    if qt is None:
+        qt = int(_PRUNE_QT_ENV) if _PRUNE_QT_ENV else _exact_qt(mp, N)
+    q_t, p_s, pid, _, lb2, inv = _pruned_prologue(new_xyz, xyz, cb, qt)
+
+    r2 = float(radius) * float(radius)
+    survive = lb2 < r2
+    keyed = jnp.where(survive, lb2, jnp.inf)
+    order = jnp.argsort(keyed, axis=-1).astype(jnp.int32)
+    count = jnp.sum(survive, axis=-1).astype(jnp.int32)
+
+    idx = _ball_pruned_pallas(
+        q_t, p_s, pid, order, count, nsample, cb, r2, qt, interpret)
+    idx = jnp.swapaxes(idx, 1, 2)[:, :N]
+    return jnp.take_along_axis(idx, inv[..., None], axis=1, mode="clip")
+
+
+# ---------------------------------------------------------------------------
 # Candidate-pruned KNN: Morton-block AABB bounds + per-tile candidate blocks
 # ---------------------------------------------------------------------------
 

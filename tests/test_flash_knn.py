@@ -299,3 +299,90 @@ def test_exact_dispatch_semantics_match_xla():
     # (~1e-4 absolute in d2 at 30 m scale)
     np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_k),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Bound-pruned exact modes (knn_exact_pruned / ball_query_exact_pruned)
+# ---------------------------------------------------------------------------
+
+
+def _clustered(rng, b, n, scale=30.0, n_clusters=12):
+    """KITTI-like clustered cloud: pruning actually engages (uniform
+    clouds at small scale leave every block near every tile)."""
+    centers = scale * rng.rand(b, n_clusters, 3).astype(np.float32)
+    assign = rng.randint(0, n_clusters, size=(b, n))
+    pts = centers[np.arange(b)[:, None], assign]
+    return (pts + 0.8 * rng.randn(b, n, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n,m,k", [(600, 1500, 16), (257, 1025, 8),
+                                   (512, 2048, 1), (200, 3000, 32)])
+def test_pruned_exact_knn_bit_equal(n, m, k):
+    """knn_exact_pruned == knn_exact bitwise: same direct-form d2, same
+    tie rule; pruning only removes provably-irrelevant candidates."""
+    from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_pruned
+
+    rng = np.random.RandomState(11)
+    for maker in (lambda b, nn: 30 * rng.rand(b, nn, 3).astype(np.float32),
+                  lambda b, nn: _clustered(rng, b, nn)):
+        q = jnp.asarray(maker(2, n))
+        p = jnp.asarray(maker(2, m))
+        d_u, i_u = knn_exact(k, q, p, interpret=True)
+        d_p, i_p = knn_exact_pruned(k, q, p, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
+        np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_u))
+
+
+def test_pruned_exact_knn_ties_by_lower_index():
+    """Duplicate points (exact d2 ties) resolve to the lower ORIGINAL
+    index through the Morton permutation."""
+    from ogc_tpu.ops.pallas_knn import knn_exact_pruned
+
+    rng = np.random.RandomState(12)
+    p = 10 * rng.rand(1, 1100, 3).astype(np.float32)
+    p[0, 550:] = p[0, :550]
+    q = p[:, :64].copy()
+    d, i = knn_exact_pruned(4, jnp.asarray(q), jnp.asarray(p),
+                            interpret=True)
+    want_d, want_i = _np_knn(4, q, p)
+    np.testing.assert_array_equal(np.asarray(i), want_i)
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 0], np.arange(64))
+    np.testing.assert_array_equal(np.asarray(i)[0, :, 1],
+                                  np.arange(64) + 550)
+
+
+@pytest.mark.parametrize("radius", [0.05, 0.12, 5.0])
+def test_pruned_exact_ball_bit_equal(radius):
+    """ball_query_exact_pruned == ball_query_exact after _fill_balls, from
+    near-empty balls (tiny r: most blocks pruned) to all-inside (huge r:
+    nothing pruned)."""
+    from ogc_tpu.ops.core import _fill_balls
+    from ogc_tpu.ops.pallas_knn import (
+        ball_query_exact, ball_query_exact_pruned,
+    )
+
+    rng = np.random.RandomState(13)
+    xyz = rng.rand(2, 1500, 3).astype(np.float32)
+    ctr = xyz[:, ::10].copy()
+    cand_u = ball_query_exact(radius, 8, jnp.asarray(xyz),
+                              jnp.asarray(ctr), interpret=True)
+    cand_p = ball_query_exact_pruned(radius, 8, jnp.asarray(xyz),
+                                     jnp.asarray(ctr), interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(_fill_balls(cand_p, 8)), np.asarray(_fill_balls(cand_u, 8))
+    )
+
+
+def test_pruned_exact_knn_worst_case_single_tile():
+    """All queries in one tile + all candidates nearby: count == nbp
+    (nothing prunable) must still be bit-exact (the dynamic loop covers
+    the full block list)."""
+    from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_pruned
+
+    rng = np.random.RandomState(14)
+    q = jnp.asarray(0.5 * rng.rand(1, 100, 3).astype(np.float32))
+    p = jnp.asarray(0.5 * rng.rand(1, 1024, 3).astype(np.float32))
+    d_u, i_u = knn_exact(16, q, p, interpret=True)
+    d_p, i_p = knn_exact_pruned(16, q, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_u))
