@@ -300,12 +300,19 @@ class FlowSAModule(nn.Module):
           still skipping the XLA rewrite chains).
         - otherwise the reference-shaped fused (rel_xyz || feat) tensor.
         """
+        import os
+
         from ogc_tpu.nn.layers import compute_dtype
 
-        if self.use_xyz and compute_dtype() == jnp.bfloat16:
-            if not train and not self.use_instance_norm:
+        if self.use_xyz:
+            # r4: eval fold for EVERY dtype (pure linearity; in f32 parity
+            # mode it removes the grouped-row matmul blowup).  Train keeps
+            # the bf16-only raw-split (its f32 backward is unmeasured).
+            # OGC_EVAL_FOLD=off restores the reference-shaped eval chain.
+            if (not train and not self.use_instance_norm
+                    and os.environ.get("OGC_EVAL_FOLD", "on") != "off"):
                 return None, None, (xyz, new_xyz, features, idx)
-            if features is not None:
+            if compute_dtype() == jnp.bfloat16 and features is not None:
                 from ogc_tpu.nn.layers import raw_split_inputs
 
                 return None, raw_split_inputs(xyz, new_xyz, features, idx), None

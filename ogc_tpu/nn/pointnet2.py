@@ -8,6 +8,7 @@ three_nn inverse-distance interpolation + SharedMLP.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -227,13 +228,20 @@ class SAModuleMSG(nn.Module):
         # dependent stats) still runs on the grouped tensor — only the
         # gather+matmul pair moves.  f32-HIGH projection on the source
         # keeps scene-scale xyz precision.
+        # r4: the fold is pure linearity (Dense before gather) — enabled
+        # for EVERY eval dtype, not just bf16.  In f32 (parity mode) it
+        # removes the S x matmul-row blowup and the per-scale layout forks
+        # outright; outputs differ from the reference-shaped chain only by
+        # matmul reassociation (~1e-6 rel, pinned by
+        # tests/test_segnet.py::test_eval_fold_matches_reference_shape).
+        # OGC_EVAL_FOLD=off restores the reference-shaped eval chain.
         use_fold = (
             self.npoint is not None
             and self.use_xyz
             and features is not None
             and self.norm is not None
             and self.norm.get("class") == "GroupNorm"
-            and compute_dtype() == jnp.bfloat16
+            and os.environ.get("OGC_EVAL_FOLD", "on") != "off"
             and not train
         )
         # bf16 TRAINING keeps the r3 raw-gather split first layer (Dense on

@@ -96,3 +96,26 @@ def test_segnet_split_grouped_dense_bf16_close_to_f32():
     for o in (out, out_tr):
         d = np.abs(np.asarray(o) - np.asarray(ref))
         assert d.max() < 0.35 and d.mean() < 0.01, (d.max(), d.mean())
+
+
+def test_eval_fold_matches_reference_shape(monkeypatch):
+    """f32 EVAL fold (source-projected grouping, r4) vs the reference-
+    shaped chain: same math by linearity, differs only by matmul
+    reassociation.  Bound the deviation tightly — this is the parity-mode
+    eval path."""
+    import os
+
+    import numpy as np
+
+    from ogc_tpu.models.segnet import MaskFormer3D
+
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(30 * rng.rand(2, 512, 3).astype(np.float32))
+    model = MaskFormer3D(n_slot=8, n_point=512, arch="sapien",
+                         n_transformer_layer=2, transformer_embed_dim=128)
+    params = model.init(jax.random.PRNGKey(0), pc, pc)
+    monkeypatch.setenv("OGC_EVAL_FOLD", "off")
+    ref = np.asarray(model.apply(params, pc, pc))
+    monkeypatch.setenv("OGC_EVAL_FOLD", "on")
+    fold = np.asarray(model.apply(params, pc, pc))
+    np.testing.assert_allclose(fold, ref, atol=5e-5)
