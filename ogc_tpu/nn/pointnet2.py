@@ -248,12 +248,18 @@ class SAModuleMSG(nn.Module):
         # the gathered rows, per-point center correction): the fold's
         # backward (wide projected scatter + select transposes) measured
         # slower than the split's, while forward-only work favors the fold.
+        # r4: the raw-gather split first Dense is dtype-independent (its
+        # first layer always runs f32-HIGH for scene-scale xyz); enabling
+        # it for f32 TRAINING removes the same concat/select/layout chains
+        # it removed in bf16.  Grad parity vs the reference is pinned by
+        # tests/test_grad_parity.py (f32).  OGC_TRAIN_SPLIT=off restores
+        # the reference-shaped fused tensor.
         use_split = (
             self.npoint is not None
             and self.use_xyz
             and features is not None
             and self.norm is not None
-            and compute_dtype() == jnp.bfloat16
+            and os.environ.get("OGC_TRAIN_SPLIT", "on") != "off"
             and train
         )
         if use_split:
