@@ -908,8 +908,11 @@ def knn_exact_pruned(
 
     Same contract as knn_exact (ascending d2, ties toward the lower index,
     d2 in the reference's direct per-coordinate f32 form —
-    interpolate_gpu.cu:30-46) but typically several times faster at scene
-    scale: a flash (approximate) pre-pass yields a per-query upper bound
+    interpolate_gpu.cu:30-46), bit-equal on-chip.  Measured 0.73-1.01x at
+    the model's fwd shapes (survivor fractions are geometry-pinned at
+    35-88%, BENCHLOG r4) — kept OPT-IN (OGC_PALLAS_EXACT_PRUNE=knn) for
+    sparser workloads; the ball variant below wins and ships as default.
+    Mechanism: a flash (approximate) pre-pass yields a per-query upper bound
     theta on the true k-th d2 (a thinned subset's k-th distance can only
     overestimate; _THETA_INFLATE covers its packed-key truncation), each
     Morton-coherent query tile takes theta_tile = max over its queries,
