@@ -162,7 +162,7 @@ def main():
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
-                     graph="mutual", remat="off"):
+                     graph="mutual", remat="off", smooth_exact=None):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -171,6 +171,7 @@ def main():
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
             symmetric_smooth_grad=symmetric,
             monitor_terms=monitors, smooth_graph=graph,
+            smooth_exact=smooth_exact,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -188,34 +189,45 @@ def main():
 
         return step
 
-    for name, w, sym, mon, graph, remat in [
+    for name, w, sym, mon, graph, remat, sm_exact in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
-         "mutual", "off"),
+         "mutual", "off", None),
         ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual",
-         "off"),
+         "off", None),
         ("+ smooth mutual graph (default: exact scatter-free grad)",
-         (0.0, 0.1, 0.0), False, True, "mutual", "off"),
+         (0.0, 0.1, 0.0), False, True, "mutual", "off", None),
         ("+ smooth reference graph (autodiff scatter-add)",
-         (0.0, 0.1, 0.0), False, True, "reference", "off"),
+         (0.0, 0.1, 0.0), False, True, "reference", "off", None),
         ("full, reference graph (parity mode)",
-         (10.0, 0.1, 0.1), False, True, "reference", "off"),
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None),
         ("full, reference graph + symmetric_smooth_grad (approx)",
-         (10.0, 0.1, 0.1), True, True, "reference", "off"),
+         (10.0, 0.1, 0.1), True, True, "reference", "off", None),
         # Production-fast path: mutual graph + static skip of monitor-only
         # computations (no scalar logging).
         ("full, mutual + monitor_terms off", (10.0, 0.1, 0.1), False, False,
-         "mutual", "off"),
-        # Remat arms: the step is HBM-bound (95.9% byte roofline, MFU ~1%)
-        # so recomputing forward activations in the backward instead of
-        # storing them is the remaining bytes lever.  Identical math.
+         "mutual", "off", None),
+        # Remat arms: measured r4 — both REGRESS ~9% (the step is gather-
+        # latency-bound, not byte-bound; BENCHLOG r4 roofline
+        # reconciliation).  Kept for re-measurement on future configs.
         ("full, mutual + remat=full (bwd recomputes fwd)",
-         (10.0, 0.1, 0.1), False, True, "mutual", "full"),
+         (10.0, 0.1, 0.1), False, True, "mutual", "full", None),
         ("full, mutual + remat=dots (save matmul outputs)",
-         (10.0, 0.1, 0.1), False, True, "mutual", "dots"),
+         (10.0, 0.1, 0.1), False, True, "mutual", "dots", None),
+        # r4 smoothexact arms: exact smooth-loss tables (pruned-exact ball
+        # kernel) + the SCALAR mutual-membership test vs the shipping
+        # approx tables + gather-based membership (~50 ms of neighbor-list
+        # gathers in the r4 timeline).
+        ("full, mutual + smoothexact tables (scalar membership)",
+         (10.0, 0.1, 0.1), False, True, "mutual", "off", True),
+        ("full, mutual_gather + smoothexact tables (exact + gather test)",
+         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", True),
+        ("full, mutual_gather + approx tables (r3 shipping form)",
+         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", False),
     ]:
         if cli.arms is not None and cli.arms not in name:
             continue
-        t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat))(
+        t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat,
+                                       sm_exact))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

@@ -243,6 +243,124 @@ def _mutual_bwd(loss_norm, res, g):
 _mutual_discrepancy.defvjp(_mutual_fwd, _mutual_bwd)
 
 
+def _first_occurrence(idx: Array) -> Array:
+    """(B, N, S) bool: slot s is the first occurrence of its value in row
+    i (the dedup half of mutual_keep_mask)."""
+    eq = idx[..., :, None] == idx[..., None, :]  # (B, N, S, S)
+    strict_lower = jnp.tril(jnp.ones((idx.shape[-1],) * 2, bool), k=-1)
+    return ~jnp.any(eq & strict_lower, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mutual_discrepancy_scalar(mask, aux, idx, pc, loss_norm, kind):
+    """Mutual-graph neighbor discrepancy with the SCALAR membership test —
+    identical math to mutual_keep_mask + _mutual_discrepancy, one gather
+    instead of three.
+
+    The r4 train-step timeline (tools/roofline_calibrate.py) showed the
+    mutual test's neighbor-LIST gathers (ops.group(idx, idx): 64/32-wide
+    int rows per edge) plus their compare-reduces cost ~50 ms/step — all
+    to answer "is i in row(j)?".  But row membership is decidable from
+    per-point SCALARS, because the exact tables are lexicographic prefixes:
+
+      knn (raw):  i in knn(j)  <=>  (d2(i,j), i) <=lex (theta_d2_j, theta_i_j)
+                  where theta = j's k-th (distance, index) pair;
+      + clamp:    i in clamped_row(j) <=> (i in knn(j) AND sqrt(d2) <= radius)
+                  OR (i == nearest_j AND j clamped any slot);
+      ball:       i in ball(j)  <=>  d2(i,j) < r^2 AND i <= max(row(j))
+                  (selection is ascending-index; when not full, max is the
+                  largest in-radius index, so the same test covers both).
+
+    These scalars ride THE SAME gather as the mask columns (the gathers
+    are row-latency-bound, so wider rows are free), deleting the
+    neighbor-list gathers outright.  d2 is the direct per-coordinate form
+    — bitwise the exact Pallas kernels' selection metric, so on the TPU
+    kernel path the membership decision is EXACT.  (Under the XLA exact
+    fallback the selection metric is the MXU expansion; knife-edge pairs
+    within ~|p||q|*eps of a boundary could differ — CPU oracle tests use
+    grid-quantized clouds where every d2 is exact either way.)
+
+    :param mask: (B, N, K) slot probabilities (differentiated).
+    :param aux: (B, N, A) per-point scalar columns, stop-gradient:
+        knn:  [theta_d2, theta_i, nearest_i, any_clamp]
+        ball: [maxvalid]
+    :param idx: (B, N, S) neighbor table (clamped / filled).
+    :param pc: (B, N, 3) points (stop-gradient; d2 reconstruction).
+    :param kind: ("knn", radius) or ("ball", radius) — trace-time static.
+    """
+    loss, _ = _mutual_scalar_fwd(mask, aux, idx, pc, loss_norm, kind)
+    return loss
+
+
+def _mutual_scalar_fwd(mask, aux, idx, pc, loss_norm, kind):
+    B, N, K = mask.shape
+    idx = jax.lax.stop_gradient(idx)
+    src = jnp.concatenate(
+        [mask.astype(jnp.float32), pc, aux], axis=-1)  # (B, N, K+3+A)
+    G = ops.group(src, idx)                            # ONE gather
+    nn_mask = G[..., :K]
+    g_xyz = G[..., K:K + 3]
+    g_aux = G[..., K + 3:]
+
+    diff = mask[:, :, None, :].astype(jnp.float32) - nn_mask
+    if loss_norm == 1:
+        per = jnp.sum(jnp.abs(diff), axis=-1)
+    else:
+        per = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-24))
+
+    d = pc[:, :, None, :] - g_xyz
+    d2_e = d[..., 0] ** 2 + d[..., 1] ** 2 + d[..., 2] ** 2  # direct form
+    i_ids = jnp.arange(N, dtype=jnp.float32)[None, :, None]
+    what, radius = kind
+    if what == "knn":
+        th_d2, th_i, near_i, anyclamp = (
+            g_aux[..., 0], g_aux[..., 1], g_aux[..., 2], g_aux[..., 3])
+        in_raw = (d2_e < th_d2) | ((d2_e == th_d2) & (i_ids <= th_i))
+        # "unclamped slot" is the reference's sqrt-domain test: a slot
+        # survives iff dist <= radius (knn_smooth_loss clamps dist>radius).
+        cond1 = in_raw & (jnp.sqrt(d2_e) <= radius)
+        cond2 = (i_ids == near_i) & (anyclamp > 0)
+        mutual = cond1 | cond2
+    else:
+        maxvalid = g_aux[..., 0]
+        mutual = (d2_e < radius * radius) & (i_ids <= maxvalid)
+    keep = _first_occurrence(idx) & mutual
+    loss = jnp.mean(jnp.where(keep, per, 0.0))
+    return loss, (diff, keep)
+
+
+def _mutual_scalar_bwd(loss_norm, kind, res, g):
+    diff, keep = res
+    if loss_norm == 1:
+        d = jnp.sign(diff)
+    else:
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                                    1e-24))
+        d = diff / norm
+    B, N, S, _ = diff.shape
+    d = jnp.where(keep[..., None], d, 0.0)
+    grad = (2.0 * g / (B * N * S)) * jnp.sum(d, axis=2)
+    return grad.astype(diff.dtype), None, None, None
+
+
+_mutual_discrepancy_scalar.defvjp(_mutual_scalar_fwd, _mutual_scalar_bwd)
+
+
+def _knn_mutual_aux(pc, dist, idx_raw, radius):
+    """Per-point scalar columns for the knn scalar-mutual test (all f32;
+    indices < 2^24 are exact in f32).  theta_d2 is the DIRECT-form d2 to
+    the k-th raw neighbor — bitwise the exact kernel's selection metric."""
+    kth = idx_raw[..., -1]                       # (B, N)
+    kth_xyz = jnp.take_along_axis(pc, kth[..., None], axis=1, mode="clip")
+    dd = pc - kth_xyz
+    th_d2 = dd[..., 0] ** 2 + dd[..., 1] ** 2 + dd[..., 2] ** 2
+    any_clamp = jnp.any(dist > radius, axis=-1)
+    return jnp.stack(
+        [th_d2, kth.astype(jnp.float32),
+         idx_raw[..., 0].astype(jnp.float32),
+         any_clamp.astype(jnp.float32)], axis=-1)
+
+
 def _neighbor_discrepancy(
     mask: Array, nn_mask: Array, cross_entropy: bool, loss_norm: int
 ) -> Array:
@@ -264,24 +382,51 @@ def _neighbor_discrepancy(
     return jnp.mean(loss)
 
 
+def _scalar_mutual_ok(exact) -> bool:
+    """The scalar membership test is valid only on EXACT tables (lex-prefix
+    property); approx flash tables can list j without listing i back, and
+    the scalar test cannot see that — the kept multiset would lose the
+    symmetry the exact scatter-free VJP relies on.  Trace-time resolution,
+    same jit-pinning semantics as ops.knn's own `exact=None` (CLAUDE.md).
+    """
+    return ops.exact_neighbors() if exact is None else bool(exact)
+
+
 def knn_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
+    exact: Optional[bool] = None,
 ) -> Array:
     """KNN smoothness with radius clamp (reference KnnLoss,
     losses/seg_loss_unsup.py:101-129).
 
     graph="mutual" replaces the raw (asymmetric) clamped-KNN edge set by
-    its mutualized subset (mutual_keep_mask) whose scatter-free gradient
-    is exact — the framework's default training configuration (see
-    OGCLossConfig.smooth_graph); "reference" keeps reference semantics.
+    its mutualized subset whose scatter-free gradient is exact — the
+    framework's default training configuration (see
+    OGCLossConfig.smooth_graph).  On EXACT tables the membership test is
+    the r4 SCALAR form (_mutual_discrepancy_scalar: one fused gather; the
+    r3 neighbor-list gathers cost ~50 ms/step); approx tables keep the
+    gather-based test (scalar membership needs the lex-prefix property).
+    "mutual_gather" forces the gather test (the oracle); "reference"
+    keeps reference semantics.
+
+    :param exact: per-call neighbor-search mode override (None = the
+        ops-global default).  OGCLossConfig.smooth_exact routes here —
+        exact smooth-loss tables are both closer to the reference AND
+        enable the scalar mutual path.
     """
-    dist, idx = ops.knn(k, pc, pc)
-    nearest = idx[..., :1]
-    idx = jnp.where(dist > radius, nearest, idx)
+    dist, idx_raw = ops.knn(k, pc, pc, exact=exact)
+    idx = jnp.where(dist > radius, idx_raw[..., :1], idx_raw)
     idx = jax.lax.stop_gradient(idx)
-    if graph == "mutual" and not cross_entropy:
+    if graph == "mutual" and not cross_entropy \
+            and _scalar_mutual_ok(exact):
+        aux = jax.lax.stop_gradient(
+            _knn_mutual_aux(pc, dist, idx_raw, radius))
+        return _mutual_discrepancy_scalar(
+            mask, aux, idx, jax.lax.stop_gradient(pc),
+            loss_norm, ("knn", float(radius)))
+    if graph in ("mutual", "mutual_gather") and not cross_entropy:
         keep = jax.lax.stop_gradient(mutual_keep_mask(idx))
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
@@ -294,13 +439,25 @@ def ball_q_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
+    exact: Optional[bool] = None,
 ) -> Array:
     """Ball-query smoothness (reference BallQLoss,
-    losses/seg_loss_unsup.py:132-158).  graph="mutual" as in
+    losses/seg_loss_unsup.py:132-158).  graph="mutual" / `exact` as in
     knn_smooth_loss (also drops the reference's spurious empty-ball ->
     point-0 edges unless point 0 reciprocates)."""
-    idx = jax.lax.stop_gradient(ops.ball_query(radius, k, pc, pc))
-    if graph == "mutual" and not cross_entropy:
+    idx = jax.lax.stop_gradient(
+        ops.ball_query(radius, k, pc, pc, exact=exact))
+    if graph == "mutual" and not cross_entropy \
+            and _scalar_mutual_ok(exact):
+        # maxvalid covers full AND under-full balls: selection is the
+        # ascending-index in-radius prefix, and fill slots repeat the
+        # first (lowest) member, so the row max IS the last selected.
+        aux = jax.lax.stop_gradient(
+            jnp.max(idx, axis=-1).astype(jnp.float32)[..., None])
+        return _mutual_discrepancy_scalar(
+            mask, aux, idx, jax.lax.stop_gradient(pc),
+            loss_norm, ("ball", float(radius)))
+    if graph in ("mutual", "mutual_gather") and not cross_entropy:
         keep = jax.lax.stop_gradient(mutual_keep_mask(idx))
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
@@ -445,13 +602,23 @@ class OGCLossConfig:
     # only when smooth_graph == "reference".
     symmetric_smooth_grad: bool = False
     # Smooth-loss neighbor graph: "mutual" (framework default) mutualizes
-    # the KNN/ball edges (mutual_keep_mask) so the scatter-free gradient is
-    # EXACT — this deletes the scatter-add backward wall (~104 ms/step at
-    # B=8 x 8192, BENCHLOG r2) without the symmetric_smooth_grad
-    # approximation; "reference" keeps the reference's raw (asymmetric)
-    # graphs (losses/seg_loss_unsup.py:101-180) for parity runs.
+    # the KNN/ball edges so the scatter-free gradient is EXACT — this
+    # deletes the scatter-add backward wall (~104 ms/step at B=8 x 8192,
+    # BENCHLOG r2) without the symmetric_smooth_grad approximation.  r4:
+    # membership is decided by the SCALAR test
+    # (_mutual_discrepancy_scalar, one fused gather — the r3 neighbor-list
+    # gathers cost ~50 ms/step); "mutual_gather" keeps the r3 gather-based
+    # test (the oracle, same edge set on exact-kernel tables);
+    # "reference" keeps the reference's raw (asymmetric) graphs
+    # (losses/seg_loss_unsup.py:101-180) for parity runs.
     # Accuracy ablation: PARITY.md (graph arm).
     smooth_graph: str = "mutual"
+    # Neighbor-search mode for the smooth-loss tables only (None = the
+    # ops-global default).  True runs the smooth KNN/ball exact even in
+    # fast (approx) training: reference-faithful edges AND the scalar
+    # mutual path (the exact kernels + ball pruning vs the ~50 ms of
+    # membership gathers — on-chip A/B in bench_train.py, BENCHLOG r4).
+    smooth_exact: Optional[bool] = None
     # When False, monitoring-only computations are skipped statically:
     # entropy/rank (reference seg_loss_unsup.py:328-330, never in backprop)
     # and any weighted term whose weight is exactly 0.0 in the config (the
@@ -501,10 +668,12 @@ def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
     l_knn = knn_smooth_loss(
         pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy,
         cfg.knn_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
+        exact=cfg.smooth_exact,
     )
     l_bq = ball_q_smooth_loss(
         pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
         cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
+        exact=cfg.smooth_exact,
     )
     return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
 

@@ -360,3 +360,108 @@ def test_monitor_terms_from_dict():
     cfg = L.OGCLossConfig.from_dict({"monitor_terms": False})
     assert not cfg.monitor_terms
     assert L.OGCLossConfig.from_dict({}).monitor_terms
+
+
+def test_scalar_mutual_matches_gather_oracle():
+    """The r4 scalar membership test (graph='mutual' on exact tables) must
+    reproduce the gather-based mutual loss AND gradient exactly.  Grid-
+    quantized clouds: every pairwise d2 is exactly representable, so the
+    scalar reconstruction agrees with either exact path's selection metric
+    bit-for-bit (continuous clouds could flip knife-edge pairs under the
+    XLA MXU-form fallback — see _mutual_discrepancy_scalar)."""
+    from ogc_tpu.losses.seg_unsup import (
+        ball_q_smooth_loss, knn_smooth_loss,
+    )
+
+    rng = np.random.RandomState(7)
+    B, N, K = 2, 160, 6
+    pc = jnp.asarray(np.round(rng.rand(B, N, 3) * 16).astype(np.float32)
+                     / 16.0)
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, N, K).astype(np.float32)), -1)
+
+    cases = [
+        (knn_smooth_loss, dict(k=6, radius=0.25)),
+        (knn_smooth_loss, dict(k=6, radius=10.0)),   # no clamps
+        (ball_q_smooth_loss, dict(k=8, radius=0.3)),
+        (ball_q_smooth_loss, dict(k=8, radius=0.02)),  # mostly empty balls
+        (ball_q_smooth_loss, dict(k=4, radius=2.0)),   # crowded/truncated
+    ]
+    for fn, kw in cases:
+        for norm in (1, 2):
+            def scalar(m):
+                return fn(pc, m, kw["k"], kw["radius"], loss_norm=norm,
+                          graph="mutual", exact=True)
+
+            def gather(m):
+                return fn(pc, m, kw["k"], kw["radius"], loss_norm=norm,
+                          graph="mutual_gather", exact=True)
+
+            ls, lg = float(scalar(mask)), float(gather(mask))
+            np.testing.assert_allclose(ls, lg, rtol=1e-6, err_msg=str(kw))
+            gs = np.asarray(jax.grad(scalar)(mask))
+            gg = np.asarray(jax.grad(gather)(mask))
+            np.testing.assert_allclose(gs, gg, rtol=1e-5, atol=1e-7,
+                                       err_msg=str(kw))
+
+
+def test_scalar_mutual_vjp_is_exact():
+    """Custom scatter-free VJP of _mutual_discrepancy_scalar == plain
+    autodiff of its own forward (same bar as _mutual_discrepancy)."""
+    from ogc_tpu.losses.seg_unsup import (
+        _knn_mutual_aux, _mutual_discrepancy_scalar, _mutual_scalar_fwd,
+    )
+
+    rng = np.random.RandomState(8)
+    B, N, K = 2, 120, 5
+    pc = jnp.asarray(np.round(rng.rand(B, N, 3) * 16).astype(np.float32)
+                     / 16.0)
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, N, K).astype(np.float32)), -1)
+    from ogc_tpu import ops as _ops
+
+    dist, idx_raw = _ops.knn(5, pc, pc, exact=True)
+    radius = 0.3
+    idx = jnp.where(dist > radius, idx_raw[..., :1], idx_raw)
+    aux = _knn_mutual_aux(pc, dist, idx_raw, radius)
+
+    for norm in (1, 2):
+        def custom(m):
+            return _mutual_discrepancy_scalar(
+                m, aux, idx, pc, norm, ("knn", radius))
+
+        def plain(m):
+            return _mutual_scalar_fwd(m, aux, idx, pc, norm,
+                                      ("knn", radius))[0]
+
+        np.testing.assert_allclose(float(custom(mask)), float(plain(mask)),
+                                   rtol=1e-6)
+        g_c = np.asarray(jax.grad(custom)(mask))
+        g_p = np.asarray(jax.grad(plain)(mask))
+        np.testing.assert_allclose(g_c, g_p, rtol=1e-5, atol=1e-7)
+
+
+def test_scalar_mutual_gated_off_for_approx_tables():
+    """graph='mutual' with approximate tables must keep the gather-based
+    test: the scalar lex-prefix argument does not hold for flash tables
+    (an approx row can list j without j listing i back), which would break
+    the kept multiset's symmetry."""
+    from ogc_tpu.losses import seg_unsup as SU
+
+    rng = np.random.RandomState(9)
+    pc = jnp.asarray(rng.rand(1, 96, 3).astype(np.float32))
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.randn(1, 96, 4).astype(np.float32)), -1)
+    called = {}
+    orig = SU._mutual_discrepancy
+
+    def spy(*a, **k):
+        called["gather"] = True
+        return orig(*a, **k)
+
+    SU._mutual_discrepancy = spy
+    try:
+        SU.knn_smooth_loss(pc, mask, 5, 0.3, graph="mutual", exact=False)
+    finally:
+        SU._mutual_discrepancy = orig
+    assert called.get("gather"), "approx tables must use the gather test"
