@@ -192,6 +192,14 @@ def main():
     for name, w, sym, mon, graph, remat, sm_exact in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
          "mutual", "off", None),
+        # Isolate the smooth-loss machinery (r4 timeline finding: every
+        # r3 arm computed the smooth forward for the log dict, so its
+        # cost was invisible).  weights-0 + monitors-off would DCE the
+        # whole model (zero grads -> constant step); dynamic-only keeps a
+        # real data-dependent gradient while the smooth machinery is
+        # statically skipped: smooth cost = full-step minus this.
+        ("model + dynamic only, monitors off (no smooth machinery)",
+         (10.0, 0.0, 0.0), False, False, "mutual", "off", None),
         ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual",
          "off", None),
         ("+ smooth mutual graph (default: exact scatter-free grad)",

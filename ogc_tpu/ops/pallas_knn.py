@@ -796,6 +796,11 @@ def _exact_pruned_pallas(q_t, p, pid, order, count, k, cb, qt,
             pltpu.VMEM((-(-Mp // _TM) * _TM, qt), jnp.float32),
             pltpu.VMEM((-(-Mp // _TM) * _TM, 1), jnp.int32),
         ],
+        # The default 16 MB scoped-vmem budget is within ~100 KB of this
+        # kernel's scratch + tile temporaries at qt=256/Mp=8192; embedded
+        # in a train step (jvp context) it tips over.  Raise the limit
+        # rather than shrinking qt (qt=128 measured 1.13-1.41x slower).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(order, count, q_t, p, pid)
 
@@ -827,6 +832,8 @@ def _ball_pruned_pallas(q_t, p, pid, order, count, ns, cb, r2, qt,
         out_specs=pl.BlockSpec((1, ns, qt), lambda b, q: (b, 0, q),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((-(-Mp // _TM) * _TM, qt), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),  # see _exact_pruned_pallas
         interpret=interpret,
     )(order, count, q_t, p, pid)
 
