@@ -306,6 +306,8 @@ def _knn_pallas(query_t: Array, points: Array, k: int, blk: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((g_pad, qt), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 2**20),  # see _knn_exact_pallas
         interpret=interpret,
     )(query_t, points)
 
@@ -497,6 +499,12 @@ def _knn_exact_pallas(query_t: Array, points: Array, k: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((Mp, qt), jnp.float32)],
+        # The (Mp, qt) scratch + tile temporaries sit within ~100 KB of
+        # the default 16 MB scoped-vmem budget at qt=256/Mp=8192; layout
+        # copies around the call can tip it over (r4: the f32 eval fold
+        # did).  Raise the limit rather than shrinking qt (qt=128 is
+        # 1.13-1.41x slower, tools/bench_exact_qt.py).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
         interpret=interpret,
     )(query_t, points)
 
