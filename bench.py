@@ -249,9 +249,11 @@ if __name__ == "__main__":
         train_cost_gb = float(ca.get("bytes accessed", 0.0)) / 1e9
 
         # Quick achievable-stream anchor (same loop-carried form as
-        # tools/roofline_calibrate.py): the honest ceiling to quote
-        # achieved GB/s against — NOT the 819 GB/s paper peak.
-        big = jnp.asarray(rng_t.rand(256, 512, 512).astype(np.float32))
+        # tools/roofline_calibrate.py, 1 GB working set — 256 MB is
+        # per-step-overhead-dominated and under-reads by ~2x, BENCHLOG r4
+        # reconciliation): the honest ceiling to quote achieved GB/s
+        # against — NOT the 819 GB/s paper peak.
+        big = jnp.asarray(rng_t.rand(1024, 512, 512).astype(np.float32))
 
         def stream(x):
             def body(c, _):

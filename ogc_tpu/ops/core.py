@@ -322,6 +322,19 @@ def _flat_take(points: Array, flat_idx: Array) -> Array:
     """
     import os
 
+    # Experimental (OGC_GATHER_F32=on): gather bf16 tables as f32 — the r4
+    # microbench measured bf16 rows ~30% slower per row than f32 (9.25 vs
+    # 7.17 ns, width-independent), so paying one table-sized cast per S
+    # gathered rows could win.  A/B: tools/bench_gather_dtype.py.
+    cast_back = None
+    if (os.environ.get("OGC_GATHER_F32") == "on"
+            and points.dtype == jnp.bfloat16):
+        cast_back = points.dtype
+        points = points.astype(jnp.float32)
+
+    def _out(x):
+        return x.astype(cast_back) if cast_back is not None else x
+
     mode = os.environ.get("OGC_GATHER_TAKE", "auto")
     if mode == "auto":
         # Inside shard_map the arrays are per-device local — flat-take's
@@ -329,15 +342,15 @@ def _flat_take(points: Array, flat_idx: Array) -> Array:
         single = jax.device_count() == 1 or in_manual_spmd()
         mode = "flat" if single else "batched"
     if mode == "batched":
-        return jnp.take_along_axis(
+        return _out(jnp.take_along_axis(
             points, flat_idx.astype(jnp.int32)[..., None], axis=1,
             mode="clip",
-        )
+        ))
     B, N, C = points.shape
     offs = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
     gi = (flat_idx.astype(jnp.int32) + offs).reshape(-1)
     out = jnp.take(points.reshape(B * N, C), gi, axis=0, mode="clip")
-    return out.reshape(B, flat_idx.shape[1], C)
+    return _out(out.reshape(B, flat_idx.shape[1], C))
 
 
 def gather(points: Array, idx: Array) -> Array:
