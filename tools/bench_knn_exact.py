@@ -68,8 +68,11 @@ def main():
     # --- KNN arms ---------------------------------------------------------
     # (2048, 8192, 64) is the segnet SA1 QueryAndGroup shape — the parity
     # seg forward's dominant exact search (models/segnet.py kitti arch).
+    # r4 census note (BENCHLOG): the 8192x8192 shapes are LOSS-side;
+    # the parity forward's exact searches are the SA1/prefix/iter shapes
+    # appended below (tools/shape_census.py).
     for n, m, k in [(8192, 8192, 16), (8192, 8192, 32), (8192, 2048, 3),
-                    (2048, 8192, 64)]:
+                    (2048, 8192, 64), (2048, 2048, 32), (2048, 2048, 16)]:
         q, p = clouds(n, m)
 
         def xla_arm(q, p, k=k):
