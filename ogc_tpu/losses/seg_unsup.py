@@ -326,11 +326,15 @@ def _mutual_scalar_fwd(mask, aux, idx, pc, loss_norm, kind):
         mutual = (d2_e < radius * radius) & (i_ids <= maxvalid)
     keep = _first_occurrence(idx) & mutual
     loss = jnp.mean(jnp.where(keep, per, 0.0))
-    return loss, (diff, keep)
+    # diff is f32 (the fused gather promotes); remember the PRIMAL mask
+    # dtype via a zero-sized sentinel so the custom VJP returns a matching
+    # cotangent under bf16 compute (residuals must be JAX types).
+    return loss, (diff, keep, jnp.zeros((0,), mask.dtype))
 
 
 def _mutual_scalar_bwd(loss_norm, kind, res, g):
-    diff, keep = res
+    diff, keep, dt_sentinel = res
+    mask_dtype = dt_sentinel.dtype
     if loss_norm == 1:
         d = jnp.sign(diff)
     else:
@@ -340,7 +344,7 @@ def _mutual_scalar_bwd(loss_norm, kind, res, g):
     B, N, S, _ = diff.shape
     d = jnp.where(keep[..., None], d, 0.0)
     grad = (2.0 * g / (B * N * S)) * jnp.sum(d, axis=2)
-    return grad.astype(diff.dtype), None, None, None
+    return grad.astype(mask_dtype), None, None, None
 
 
 _mutual_discrepancy_scalar.defvjp(_mutual_scalar_fwd, _mutual_scalar_bwd)
