@@ -21,10 +21,18 @@ def chamfer_loss(pc1: Array, pc2: Array, flow: Array, loss_norm: int = 2) -> Arr
     """Bidirectional 1-NN Chamfer between warped pc1 and pc2
     (flow_loss_unsup.py:7-35)."""
     warped = pc1 + flow
-    _, idx1 = ops.knn(1, warped, pc2)
+    # The searches take stop_gradient'ed inputs: neighbor INDICES are
+    # piecewise-constant in the warp (the reference's CUDA knn is likewise
+    # index-only, flow_loss_unsup.py:16-24), and a param-dependent search
+    # input would route tangents into the Pallas flash kernel, which has
+    # no JVP rule (surfaced by tools/bench_train_flow.py at 8192 pts —
+    # sub-1024 clouds take the XLA path and hid this).  Gradients flow
+    # through `warped` in the distance terms exactly as before.
+    warped_ng = jax.lax.stop_gradient(warped)
+    _, idx1 = ops.knn(1, warped_ng, pc2)
     nn1 = ops.group(pc2, jax.lax.stop_gradient(idx1))[:, :, 0, :]
     dist1 = jnp.linalg.norm(warped - nn1, ord=loss_norm, axis=-1)
-    _, idx2 = ops.knn(1, pc2, warped)
+    _, idx2 = ops.knn(1, pc2, warped_ng)
     nn2 = ops.group(warped, jax.lax.stop_gradient(idx2))[:, :, 0, :]
     dist2 = jnp.linalg.norm(pc2 - nn2, ord=loss_norm, axis=-1)
     return jnp.mean(dist1 + dist2)

@@ -165,6 +165,7 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
     10-16x faster than the XLA fori_loop at 8192 points); CPU and
     VMEM-exceeding shapes use the XLA loop.  Outputs are bitwise identical.
     """
+    xyz = jax.lax.stop_gradient(xyz)  # search oracle (see ops.knn)
     B, N, _ = xyz.shape
     # 4 VMEM-resident (B, N) f32 buffers; stay well under the ~16 MB VMEM.
     # N must be lane-aligned (Mosaic requires 128-multiples for the (B, N)
@@ -497,6 +498,17 @@ def knn(
         exact = _EXACT_DEFAULT
     if recall_target is None:
         recall_target = _RECALL_LARGE_K if k >= 8 else _RECALL_SMALL_K
+    # Searches are non-differentiable ORACLES, like the reference's CUDA
+    # ops (no backward registered on knn/three_nn — indices are ints and
+    # their dist outputs never carry grad in the reference stack).
+    # Cutting tangents here also keeps param-dependent inputs (warped
+    # clouds in the flow refinement loop, chamfer) out of the Pallas
+    # kernels, which have no JVP rule (tools/bench_train_flow.py at 8192
+    # pts crashed exactly there; sub-1024 clouds take the XLA path and
+    # masked it).  Value consumers (group/gather of features/positions)
+    # keep full gradients — only the SEARCH is constant.
+    query = jax.lax.stop_gradient(query)
+    points = jax.lax.stop_gradient(points)
     dist, idx = _knn_jit(k, query, points, chunk, exact, recall_target)
     return dist, _tag_idx(idx)
 
@@ -656,6 +668,9 @@ def ball_query(
     """
     if exact is None:
         exact = _EXACT_DEFAULT
+    # Search oracle: non-differentiable inputs (see ops.knn).
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
     return _tag_idx(
         _ball_query_jit(radius, nsample, xyz, new_xyz, exact, chunk)
     )

@@ -218,6 +218,11 @@ def main():
                     help="derive the TRAIN-step baseline instead (segnet "
                          "fwd x2 frames + UnsupervisedOGCLoss + backward + "
                          "Adam; bench_train.py protocol)")
+    ap.add_argument("--train_flow", action="store_true",
+                    help="derive the FLOW-train-step baseline (reference "
+                         "train_flow.py:59-91 protocol: FlowStep3D sapien "
+                         "512 pts iters=4 + UnsupervisedFlowStep3DLoss + "
+                         "backward + Adam; tools/bench_train_flow.py)")
     args = ap.parse_args()
 
     import torch
@@ -314,6 +319,87 @@ def main():
               f"{prof_flops/1e9:.2f} GFLOP mm; eager {eager_bytes/1e9:.2f} "
               f"GB -> A100 est {1.0/t_a100:.1f} scenes/s "
               f"({t_a100*1e3:.2f} ms/scene)", file=sys.stderr)
+        js = json.dumps(out, indent=1)
+        if args.json:
+            with open(args.json, "w") as f:
+                f.write(js)
+        print(js)
+        return
+
+    if args.train_flow:
+        # Flow-training baseline (reference train_flow.py:59-91 with
+        # config/flow/sapien/sapien_unsup.yaml: 512 pts, iters=4,
+        # loc_flow_nn=8, loc_flow_rad=0.1, loss weights [0.75, 0.25],
+        # iters_w [0.5, 0.3, 0.3, 0.3], batch 32).
+        from models.flownet_sapien import FlowStep3D as FlowSapien
+        from losses.flow_loss_unsup import (
+            ChamferLoss, SmoothLoss as FlowSmooth,
+            UnsupervisedFlowStep3DLoss,
+        )
+
+        NF = 512
+        fnet = FlowSapien(
+            npoint=NF, use_instance_norm=False,
+            loc_flow_nn=8, loc_flow_rad=0.1, k_decay_fact=1.0,
+        ).train()
+        criterion = UnsupervisedFlowStep3DLoss(
+            ChamferLoss(loss_norm=2),
+            FlowSmooth(w_knn=3.0, w_ball_q=1.0,
+                       knn_loss_params=dict(k=4, radius=0.05, loss_norm=1),
+                       ball_q_loss_params=dict(k=8, radius=0.1,
+                                               loss_norm=1)),
+            weights=[0.75, 0.25], iters_w=[0.5, 0.3, 0.3, 0.3],
+        )
+        opt = torch.optim.Adam(fnet.parameters(), lr=1e-3)
+        rng = np.random.RandomState(0)
+        p1 = torch.from_numpy(rng.rand(1, NF, 3).astype(np.float32))
+        p2 = p1 + torch.from_numpy(
+            0.02 * rng.randn(1, NF, 3).astype(np.float32))
+
+        def train_step():
+            opt.zero_grad()
+            preds = fnet(p1, p2, p1, p2, iters=4)
+            loss, _ = criterion(p1, p2, preds)
+            loss.backward()
+            opt.step()
+
+        out = {"n_point": NF, "batch": 1, "mode": "train_flow",
+               "torch_threads": torch.get_num_threads()}
+        n_ops, prof_flops, custom = profile_fwd(train_step, log, grad=True)
+        eager_bytes, eager_ops = count_eager_bytes(train_step, grad=True)
+        t = time_fwd(train_step, args.reps, grad=True)
+        out["train_flow"] = dict(
+            cpu_sec_per_scene=t, aten_ops_per_step=n_ops,
+            profiler_matmul_conv_flops=prof_flops,
+            custom_op_flops=custom["flops"],
+            custom_gather_rows=custom["gather_rows"],
+            eager_traffic_bytes=eager_bytes, eager_traffic_ops=eager_ops,
+        )
+        TF32_TFLOPS = 156e12 * 0.5
+        CUSTOM_TFLOPS = 19.5e12 * 0.7
+        HBM_GBS = 1555e9 * 0.7
+        T_LAUNCH = 5e-6
+        BATCH_PROTO = 32  # the reference protocol's batch size
+        t_a100 = max(prof_flops / TF32_TFLOPS,
+                     custom["flops"] / CUSTOM_TFLOPS,
+                     eager_bytes / HBM_GBS,
+                     n_ops * T_LAUNCH / BATCH_PROTO)
+        out["a100_estimate"] = dict(
+            sec_per_scene=t_a100, scenes_per_sec=1.0 / t_a100,
+            t_matmul=prof_flops / TF32_TFLOPS,
+            t_custom=custom["flops"] / CUSTOM_TFLOPS,
+            t_bytes=eager_bytes / HBM_GBS,
+            t_launch_per_scene=n_ops * T_LAUNCH / BATCH_PROTO,
+            assumptions=dict(tf32_tflops_eff=TF32_TFLOPS,
+                             custom_tflops_eff=CUSTOM_TFLOPS,
+                             hbm_gbs_eff=HBM_GBS, t_launch_sec=T_LAUNCH,
+                             batch=BATCH_PROTO),
+        )
+        print(f"[train_flow] {t:.2f} s/scene CPU; {n_ops} aten ops; "
+              f"{prof_flops/1e9:.2f} GFLOP mm; eager "
+              f"{eager_bytes/1e9:.2f} GB -> A100 est "
+              f"{1.0/t_a100:.1f} scenes/s ({t_a100*1e3:.2f} ms/scene)",
+              file=sys.stderr)
         js = json.dumps(out, indent=1)
         if args.json:
             with open(args.json, "w") as f:
