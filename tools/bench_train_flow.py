@@ -31,7 +31,7 @@ REPS = 5
 
 
 def bench_one(tag, npoint, batch, model_iters, arch, loc_nn, loc_rad,
-              iters_w):
+              iters_w, remat=None, remat_refine=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -42,7 +42,8 @@ def bench_one(tag, npoint, batch, model_iters, arch, loc_nn, loc_rad,
     from ogc_tpu.train.flow import FlowTrainer
 
     model = FlowStep3D(npoint=npoint, arch=arch, loc_flow_nn=loc_nn,
-                       loc_flow_rad=loc_rad, k_decay_fact=1.0)
+                       loc_flow_rad=loc_rad, k_decay_fact=1.0,
+                       remat_refine=remat_refine)
     pc0 = jnp.zeros((1, npoint, 3), jnp.float32)
     variables = jax.jit(lambda k, a: model.init(k, a, a, a, a, 2))(
         jax.random.PRNGKey(0), pc0)
@@ -52,6 +53,7 @@ def bench_one(tag, npoint, batch, model_iters, arch, loc_nn, loc_rad,
         optimizer=optax.adamw(1e-3, weight_decay=1e-7),
         exp_base="/tmp/ogc_bench_train_flow",
         mesh=pmesh.make_mesh(jax.devices()[:1]),
+        remat=remat,
     )
 
     rng = np.random.RandomState(0)
@@ -107,8 +109,12 @@ def main():
     results = [
         bench_one("sapien_ref_protocol", 512, 32, 4, "sapien", 8, 0.1,
                   (0.5, 0.3, 0.3, 0.3)),
-        bench_one("kitti_scale_probe", 8192, 8, 4, "kitti", 16, 1.5,
-                  (0.5, 0.3, 0.3, 0.3)),
+        # Stored activations at 8192 x B8 x iters4 OOM the 16 GB HBM
+        # (384 MB temps per grouped level x iterations) — this probe is
+        # the remat machinery's actual use case: per-GRU-iteration
+        # nn.remat (model remat_refine) + whole-forward jax.checkpoint.
+        bench_one("kitti_scale_probe", 8192, 4, 4, "kitti", 16, 1.5,
+                  (0.5, 0.3, 0.3, 0.3), remat="full", remat_refine=True),
     ]
     print(json.dumps(results))
 
