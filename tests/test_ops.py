@@ -251,3 +251,26 @@ def test_pallas_gate_respects_device_count():
     # The CPU suite runs with 8 virtual devices and a cpu backend — both
     # conditions independently disqualify Pallas here.
     assert not pallas_available()
+
+
+def test_searches_are_nondifferentiable_oracles():
+    """knn/ball_query/FPS must carry NO tangents from their inputs (the
+    reference CUDA ops register no backward; r4 this also keeps
+    param-dependent warped clouds out of the Pallas kernels, which have
+    no JVP rule — the kitti-scale flow-train crash)."""
+    rng = np.random.RandomState(0)
+    pc = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    tan = jnp.ones_like(pc)
+
+    _, d_dot = jax.jvp(lambda x: ops.knn(4, x, x)[0], (pc,), (tan,))
+    np.testing.assert_array_equal(np.asarray(d_dot), 0.0)
+
+    # grad through a value-consumer still flows (group of features).
+    feat = jnp.asarray(rng.rand(1, 64, 5).astype(np.float32))
+
+    def f(x, ft):
+        _, idx = ops.knn(4, x, x)
+        return jnp.sum(ops.group(ft, idx))
+
+    g = jax.grad(f, argnums=1)(pc, feat)
+    assert float(jnp.sum(jnp.abs(g))) > 0
