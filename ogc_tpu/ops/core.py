@@ -162,8 +162,15 @@ def furthest_point_sample(xyz: Array, npoint: int) -> Array:
 
     Dispatch: on TPU a Pallas kernel keeps the coordinates and the running
     min-distance buffer resident in VMEM across all greedy steps (measured
-    10-16x faster than the XLA fori_loop at 8192 points); CPU and
-    VMEM-exceeding shapes use the XLA loop.  Outputs are bitwise identical.
+    1.25-10.6x faster than the XLA fori_loop, growing with N); CPU and
+    VMEM-exceeding shapes use the XLA loop.  Both paths break exact d2
+    ties toward the lower index (the reference's strict `>` update;
+    in-kernel explicit first-max-wins — Mosaic's argmax lowering does not
+    guarantee it).  Residual cross-path divergence: the XLA loop's fused
+    d2 FMA-contracts while the kernel's does not, so candidates whose
+    min-d2 differ by <= 1 ulp can select in either order (measured ~1e-4
+    of steps on continuous random clouds; grid-quantized clouds are
+    bit-identical).  Each path is individually deterministic.
     """
     xyz = jax.lax.stop_gradient(xyz)  # search oracle (see ops.knn)
     B, N, _ = xyz.shape

@@ -45,7 +45,16 @@ def _fps_kernel(npoint, x_ref, y_ref, z_ref, out_ref, mind_ref):
         )
         mind = jnp.minimum(mind_ref[:], d2)
         mind_ref[:] = mind
-        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)
+        # Explicit first-max-wins: Mosaic's lane-dim argmax lowering does
+        # NOT guarantee the lowest index on exact d2 ties (caught on-chip
+        # at (8, 2048)->512: two candidates with bit-equal min-d2, kernel
+        # picked the higher index, diverging from the XLA loop and the
+        # reference's strict `>` update).  min-index-among-maxima is
+        # lowering-independent.
+        m = jnp.max(mind, axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(mind == m, col, jnp.int32(N)), axis=1
+        ).astype(jnp.int32)
         out_ref[i, :] = nxt
         return nxt
 

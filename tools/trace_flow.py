@@ -80,6 +80,44 @@ def main():
         params = jax.jit(net.init)(jax.random.PRNGKey(0), pc1, pc1)
         fn = jax.jit(lambda p, x: jnp.sum(net.apply(p, x, x)))
         args = (params, pc)
+    elif what == "train_flow":
+        # Flow-training step at the reference sapien protocol
+        # (tools/bench_train_flow.py): 512 pts, B=32, iters=4.
+        import optax
+
+        from ogc_tpu.losses.flow_unsup import FlowLossConfig
+        from ogc_tpu.models.flownet import FlowStep3D
+        from ogc_tpu.parallel import mesh as pmesh
+        from ogc_tpu.train.flow import FlowTrainer
+
+        NF, BF = 512, 32
+        fnet = FlowStep3D(npoint=NF, arch="sapien", loc_flow_nn=8,
+                          loc_flow_rad=0.1, k_decay_fact=1.0)
+        pc0 = jnp.zeros((1, NF, 3), jnp.float32)
+        fv = jax.jit(lambda k, a: fnet.init(k, a, a, a, a, 2))(
+            jax.random.PRNGKey(0), pc0)
+        tr = FlowTrainer(
+            model=fnet, variables=fv, model_iters=4,
+            loss_cfg=FlowLossConfig(weights=(0.75, 0.25),
+                                    iters_w=(0.5, 0.3, 0.3, 0.3)),
+            optimizer=optax.adamw(1e-3, weight_decay=1e-7),
+            exp_base="/tmp/ogc_trace_train_flow",
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+        )
+        rngf = np.random.RandomState(0)
+        fp1 = jnp.asarray(rngf.rand(BF, NF, 3).astype(np.float32))
+        fp2 = fp1 + jnp.asarray(
+            0.02 * rngf.randn(BF, NF, 3).astype(np.float32))
+        gtf = jnp.zeros((BF, NF, 3), jnp.float32)
+
+        _fstep = jax.jit(lambda p, s, o, a, b, g: tr._train_step_impl(
+            p, s, o, a, b, g, jnp.float32(0.9))[:3])
+
+        def fn(p, s, o, a, b, g):
+            p2, s2, o2 = _fstep(p, s, o, a, b, g)
+            return float(jax.tree_util.tree_leaves(p2)[0].sum())
+
+        args = (tr.params, tr.batch_stats, tr.opt_state, fp1, fp2, gtf)
     elif what == "train":
         from ogc_tpu.losses.seg_unsup import OGCLossConfig
         from ogc_tpu.models.segnet import MaskFormer3D
