@@ -162,7 +162,7 @@ def main():
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
-                     graph="mutual", remat="off", smooth_exact=None):
+                     graph="reference", remat="off", smooth_exact=None):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -191,7 +191,7 @@ def main():
 
     for name, w, sym, mon, graph, remat, sm_exact in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
-         "mutual", "off", None),
+         "reference", "off", None),
         # Isolate the smooth-loss machinery (r4 timeline finding: every
         # r3 arm computed the smooth forward for the log dict, so its
         # cost was invisible).  weights-0 + monitors-off would DCE the
@@ -199,28 +199,30 @@ def main():
         # real data-dependent gradient while the smooth machinery is
         # statically skipped: smooth cost = full-step minus this.
         ("model + dynamic only, monitors off (no smooth machinery)",
-         (10.0, 0.0, 0.0), False, False, "mutual", "off", None),
-        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "mutual",
+         (10.0, 0.0, 0.0), False, False, "reference", "off", None),
+        ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "reference",
          "off", None),
-        ("+ smooth mutual graph (default: exact scatter-free grad)",
-         (0.0, 0.1, 0.0), False, True, "mutual", "off", None),
-        ("+ smooth reference graph (autodiff scatter-add)",
+        # r5: 'reference' is the DEFAULT graph again (the 10-seed paired
+        # ablation measured a PQ deficit for 'mutual' — PARITY.md).
+        ("+ smooth reference graph (default: autodiff scatter-add)",
          (0.0, 0.1, 0.0), False, True, "reference", "off", None),
-        ("full, reference graph (parity mode)",
+        ("+ smooth mutual graph (r5 opt-in: exact scatter-free grad)",
+         (0.0, 0.1, 0.0), False, True, "mutual", "off", None),
+        ("full, reference graph (default / parity graph)",
          (10.0, 0.1, 0.1), False, True, "reference", "off", None),
-        ("full, reference graph + symmetric_smooth_grad (approx)",
+        ("full, reference graph + symmetric_smooth_grad (approx bwd)",
          (10.0, 0.1, 0.1), True, True, "reference", "off", None),
-        # Production-fast path: mutual graph + static skip of monitor-only
-        # computations (no scalar logging).
-        ("full, mutual + monitor_terms off", (10.0, 0.1, 0.1), False, False,
-         "mutual", "off", None),
+        ("full, reference graph + monitor_terms off",
+         (10.0, 0.1, 0.1), False, False, "reference", "off", None),
+        ("full, mutual (r5 opt-in) + monitor_terms off",
+         (10.0, 0.1, 0.1), False, False, "mutual", "off", None),
         # Remat arms: measured r4 — both REGRESS ~9% (the step is gather-
         # latency-bound, not byte-bound; BENCHLOG r4 roofline
         # reconciliation).  Kept for re-measurement on future configs.
-        ("full, mutual + remat=full (bwd recomputes fwd)",
-         (10.0, 0.1, 0.1), False, True, "mutual", "full", None),
-        ("full, mutual + remat=dots (save matmul outputs)",
-         (10.0, 0.1, 0.1), False, True, "mutual", "dots", None),
+        ("full, reference + remat=full (bwd recomputes fwd)",
+         (10.0, 0.1, 0.1), False, True, "reference", "full", None),
+        ("full, reference + remat=dots (save matmul outputs)",
+         (10.0, 0.1, 0.1), False, True, "reference", "dots", None),
         # r4 smoothexact arms: exact smooth-loss tables (pruned-exact ball
         # kernel) + the SCALAR mutual-membership test vs the shipping
         # approx tables + gather-based membership (~50 ms of neighbor-list

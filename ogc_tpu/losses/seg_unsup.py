@@ -274,11 +274,18 @@ def _mutual_discrepancy_scalar(mask, aux, idx, pc, loss_norm, kind):
     These scalars ride THE SAME gather as the mask columns (the gathers
     are row-latency-bound, so wider rows are free), deleting the
     neighbor-list gathers outright.  d2 is the direct per-coordinate form
-    — bitwise the exact Pallas kernels' selection metric, so on the TPU
-    kernel path the membership decision is EXACT.  (Under the XLA exact
-    fallback the selection metric is the MXU expansion; knife-edge pairs
-    within ~|p||q|*eps of a boundary could differ — CPU oracle tests use
-    grid-quantized clouds where every d2 is exact either way.)
+    — algebraically the exact Pallas kernels' selection metric.  Two
+    knife-edge caveats (ADVICE r4): (a) XLA may FMA-contract the x^2+y^2
+    +z^2 chain here while the Mosaic kernel computes it uncontracted, a
+    ~1-ulp divergence class the repo has observed on-chip (FPS commit
+    ea4d2fd) — a pair EXACTLY on a tie/threshold boundary could flip
+    membership vs the table; (b) under the XLA exact fallback the
+    selection metric is the MXU expansion, diverging by ~|p||q|*eps.
+    Either flip breaks the kept-multiset symmetry for that rare edge
+    (the VJP then mis-weights it by 2x/0x).  CPU oracle tests use
+    grid-quantized clouds where every d2 is exact; on-chip the
+    scalar-vs-gather A/B in tools/tpu_e2e_smoke.py (--scalar_mutual_ab)
+    bounds the divergence on continuous clouds.
 
     :param mask: (B, N, K) slot probabilities (differentiated).
     :param aux: (B, N, A) per-point scalar columns, stop-gradient:
@@ -406,9 +413,9 @@ def knn_smooth_loss(
     losses/seg_loss_unsup.py:101-129).
 
     graph="mutual" replaces the raw (asymmetric) clamped-KNN edge set by
-    its mutualized subset whose scatter-free gradient is exact — the
-    framework's default training configuration (see
-    OGCLossConfig.smooth_graph).  On EXACT tables the membership test is
+    its mutualized subset whose scatter-free gradient is exact — opt-in
+    since r5 (10-seed PQ deficit, see OGCLossConfig.smooth_graph /
+    PARITY.md).  On EXACT tables the membership test is
     the r4 SCALAR form (_mutual_discrepancy_scalar: one fused gather; the
     r3 neighbor-list gathers cost ~50 ms/step); approx tables keep the
     gather-based test (scalar membership needs the lex-prefix property).
@@ -605,18 +612,19 @@ class OGCLossConfig:
     # (see _sym_grad_discrepancy); opt-in, ablation in PARITY.md.  Applies
     # only when smooth_graph == "reference".
     symmetric_smooth_grad: bool = False
-    # Smooth-loss neighbor graph: "mutual" (framework default) mutualizes
-    # the KNN/ball edges so the scatter-free gradient is EXACT — this
-    # deletes the scatter-add backward wall (~104 ms/step at B=8 x 8192,
-    # BENCHLOG r2) without the symmetric_smooth_grad approximation.  r4:
-    # membership is decided by the SCALAR test
-    # (_mutual_discrepancy_scalar, one fused gather — the r3 neighbor-list
-    # gathers cost ~50 ms/step); "mutual_gather" keeps the r3 gather-based
-    # test (the oracle, same edge set on exact-kernel tables);
-    # "reference" keeps the reference's raw (asymmetric) graphs
-    # (losses/seg_loss_unsup.py:101-180) for parity runs.
-    # Accuracy ablation: PARITY.md (graph arm).
-    smooth_graph: str = "mutual"
+    # Smooth-loss neighbor graph.  "reference" (DEFAULT, r5) keeps the
+    # reference's raw asymmetric KNN/ball graphs
+    # (losses/seg_loss_unsup.py:101-180).  "mutual" mutualizes the edges
+    # so the scatter-free gradient is EXACT on the sparser graph —
+    # deleting the scatter-add backward wall (~104 ms/step at B=8 x 8192,
+    # BENCHLOG r2) — and was the r3/r4 default under a 5-seed
+    # accuracy-neutrality defense; the r5 10-seed paired ablation
+    # OVERTURNED that (PQ deficit -0.022 ± 0.020, paired p=0.007 at 24
+    # epochs — PARITY.md graph tables), so mutual is now opt-in with its
+    # accuracy cost documented.  r4: mutual membership on exact tables is
+    # the SCALAR test (_mutual_discrepancy_scalar, one fused gather);
+    # "mutual_gather" keeps the gather-based test (the oracle).
+    smooth_graph: str = "reference"
     # Neighbor-search mode for the smooth-loss tables only (None = the
     # ops-global default).  True runs the smooth KNN/ball exact even in
     # fast (approx) training: reference-faithful edges AND the scalar
@@ -639,7 +647,7 @@ class OGCLossConfig:
         i = loss_cfg.get("invariance_loss_params", {})
         kp = s.get("knn_loss_params", {})
         bp = s.get("ball_q_loss_params", {})
-        graph = s.get("graph", "mutual")
+        graph = s.get("graph", "reference")
         if graph not in ("mutual", "reference"):  # a typo here would
             # silently select the reference scatter-add path
             raise ValueError(

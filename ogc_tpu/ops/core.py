@@ -728,8 +728,12 @@ def _ball_query_jit(
         ):
             # Static-radius AABB pruning, bit-equal: 1.37-1.84x on-chip at
             # the (8192 centers x 8192 points, ns=64, r=2) smooth-loss
-            # shape; ~1.0-1.25x at 2048 centers, hence the M gate
-            # (BENCHLOG r4 A/B).
+            # shape; ~1.0-1.25x at 2048 centers, hence the M (centers)
+            # gate (BENCHLOG r4 A/B).  BOTH sides are deliberately gated
+            # at 4096 (not knn's _PRUNE_MIN_N=1024 for the points side):
+            # ball pruning's only win was measured at 8192 x 8192, and a
+            # small point cloud means few Morton blocks to skip — the
+            # prologue (sort + AABBs) would be pure overhead.
             cand = ball_query_exact_pruned(radius, nsample, xyz, new_xyz)
         else:
             cand = ball_query_exact(radius, nsample, xyz, new_xyz)

@@ -618,12 +618,22 @@ _CB_EXACT = int(os.environ.get("OGC_PRUNE_CB", "128"))
 # _TM.  OGC_PRUNE_CB / OGC_PRUNE_QT override for on-chip sweeps.
 _PRUNE_QT_ENV = os.environ.get("OGC_PRUNE_QT")
 
-# Relative inflation covering every representation error between the flash
-# pre-pass's reported k-th distance and the true k-th d2: packed-key
-# mantissa truncation (<= 2^-10 relative at M=8192, see module docstring)
-# plus the sqrt->square round trip (~2 ulp).  Applied multiplicatively, so
-# theta >= true k-th d2 PROVABLY and block pruning below stays exact.
-_THETA_INFLATE = 1.0 + 2.0 ** -8
+def _theta_inflate(m_points: int) -> float:
+    """Relative inflation covering every representation error between the
+    flash pre-pass's reported k-th distance and the true k-th d2:
+    packed-key mantissa truncation (<= 2^-(23-idx_bits) relative, see
+    module docstring) plus the sqrt->square round trip (~2 ulp).
+    2^(idx_bits-22) DOUBLES the truncation bound, absorbing the round
+    trip; the 2^-8 floor keeps the historical margin at idx_bits < 14.
+    Derived from the flash pass's actual padded point count (ADVICE r4:
+    a fixed 1 + 2^-8 was only provably safe for idx_bits <= 14 — at
+    32768+ points theta could UNDERESTIMATE the true k-th d2 and pruning
+    would silently drop true neighbors).  Applied multiplicatively, so
+    theta >= true k-th d2 PROVABLY and block pruning stays exact at any
+    supported M."""
+    mp_flash = -(-m_points // _TM) * _TM
+    idx_bits = max(1, (mp_flash - 1).bit_length())
+    return 1.0 + max(2.0 ** -8, 2.0 ** (idx_bits - 22))
 
 
 def _knn_exact_pruned_kernel(k, cb, order_ref, count_ref,
@@ -929,7 +939,7 @@ def knn_exact_pruned(
     sparser workloads; the ball variant below wins and ships as default.
     Mechanism: a flash (approximate) pre-pass yields a per-query upper bound
     theta on the true k-th d2 (a thinned subset's k-th distance can only
-    overestimate; _THETA_INFLATE covers its packed-key truncation), each
+    overestimate; _theta_inflate covers its packed-key truncation), each
     Morton-coherent query tile takes theta_tile = max over its queries,
     and every candidate block whose exact AABB lower bound exceeds
     theta_tile is skipped — such a block's candidates are all STRICTLY
@@ -954,7 +964,7 @@ def knn_exact_pruned(
     # target -> small thinning blocks -> tight theta.
     fd, _ = knn_blockmin(k, q_s, points, recall_target=0.98,
                          interpret=interpret)
-    theta = (fd[..., k - 1].astype(jnp.float32) ** 2) * _THETA_INFLATE
+    theta = (fd[..., k - 1].astype(jnp.float32) ** 2) * _theta_inflate(M)
     theta_tile = jnp.max(theta.reshape(B, np_ // qt, qt), axis=-1)
     order, count = _survivor_order(lb2, theta_tile)
 

@@ -80,8 +80,8 @@ def _loss_cfg():
     from ogc_tpu.losses.seg_unsup import OGCLossConfig
 
     # config/seg/sapien/sapien_unsup.yaml loss params, start_steps ungated.
-    # Reference-semantics smooth graph: the parity oracle is the reference
-    # stack, so the framework-default mutual graph is pinned off here.
+    # Reference-semantics smooth graph, pinned explicitly (it is also the
+    # r5 framework default — the mutual graph is opt-in now, PARITY.md 9b).
     return OGCLossConfig(
         weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
         dynamic_loss_norm=2, smooth_w_knn=3.0, smooth_w_ball_q=1.0,

@@ -37,6 +37,15 @@ def main():
                              "jax.checkpoint, scan = per-GRU-iteration "
                              "nn.remat of the refinement scan body "
                              "(default $OGC_REMAT or off)")
+    parser.add_argument("--bn_sync", type=str, default="local",
+                        choices=["local", "global"],
+                        help="Multi-device BatchNorm batch statistics: "
+                             "local (default) = per-device stats, one "
+                             "fused running-stat all-reduce per step; "
+                             "global = cross-device pmean per BN "
+                             "application (GSPMD global-batch semantics; "
+                             "use for multi-chip parity runs — see "
+                             "PARITY.md).  Identical on one device.")
     args = parser.parse_args()
     load_config_into_args(args)
 
@@ -112,6 +121,7 @@ def main():
         mesh=pmesh.make_mesh(),
         writer=writer,
         remat=None if args.remat == "scan" else args.remat,
+        bn_sync=args.bn_sync,
     )
     start_epoch = 1
     if args.resume:
