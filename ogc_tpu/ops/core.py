@@ -71,7 +71,9 @@ _DEFAULT_CHUNK = 4096
 # 1-NN ops) survives the final exact aggregation.  Pass exact=True for
 # bitwise reference semantics (oracle tests, parity checks).  On CPU the
 # approximate path lowers to an exact computation.
-_EXACT_DEFAULT = False
+_EXACT_DEFAULT = os.environ.get("OGC_EXACT_NEIGHBORS", "") in ("1", "on")
+# (env opt-in so subprocess-driven parity runs — tools/protocol_sapien.py
+# — can pin exact search without touching the CLI surface.)
 # Recall targets: large-k SA grouping tolerates more misses than the k=3
 # interpolation stencil.
 _RECALL_LARGE_K = 0.95

@@ -37,6 +37,10 @@ class JsonlWriter:
 
 
 def make_writer(log_dir: str):
+    # OGC_WRITER=jsonl forces the parse-friendly JSONL writer (the
+    # protocol runner reads per-epoch metric trajectories from it).
+    if os.environ.get("OGC_WRITER", "") == "jsonl":
+        return JsonlWriter(log_dir)
     try:
         from tensorboardX import SummaryWriter
 

@@ -20,6 +20,68 @@ def rand_se3(rng, max_deg=30.0, max_shift=0.3):
     return M
 
 
+def make_sapien_root_coherent(root, n_scenes=60, n_views=4, n_points=512,
+                              max_parts=5, seed=0, test_frac=0.2):
+    """MBS-SAPIEN-format dataset with SPATIALLY COHERENT parts.
+
+    make_sapien_root assigns part labels iid per point, which interleaves
+    every part through the whole cloud — fine as a smoke fixture, but it
+    makes the smoothness prior ADVERSARIAL to the motion signal.  Real
+    SAPIEN scenes are articulated objects whose parts are compact regions.
+    Here each part is an anisotropic Gaussian blob around a distinct
+    center (parts per scene uniform in [2, max_parts]), moved by per-part
+    SE(3)s with moderate articulation — the geometry class the reference
+    protocol actually trains on.  Used by tools/protocol_sapien.py for
+    reference-length protocol runs."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(osp.join(root, "data"), exist_ok=True)
+    ids = list(range(n_scenes))
+    for i in ids:
+        n_parts = rng.randint(2, max_parts + 1)
+        centers = rng.uniform(-0.6, 0.6, (n_parts, 3))
+        scales = rng.uniform(0.08, 0.3, (n_parts, 3))
+        # Points per part: roughly balanced with jitter.
+        w = rng.dirichlet(np.full(n_parts, 5.0))
+        counts = np.maximum(1, (w * n_points).astype(int))
+        counts[0] += n_points - counts.sum()
+        base, segm = [], []
+        for p in range(n_parts):
+            base.append(centers[p]
+                        + scales[p] * rng.randn(counts[p], 3))
+            segm.append(np.full(counts[p], p + 1))
+        base = np.concatenate(base).astype(np.float32)
+        segm = np.concatenate(segm)
+        perm = rng.permutation(n_points)  # no part-sorted point order
+        base, segm = base[perm], segm[perm]
+        cams = [rand_se3(rng, max_deg=10.0, max_shift=0.1)
+                for _ in range(n_views)]
+        motions = {
+            str(p): [rand_se3(rng, max_deg=25.0, max_shift=0.25)
+                     for _ in range(n_views)]
+            for p in range(1, n_parts + 1)
+        }
+        pcs = np.zeros((n_views, n_points, 3), dtype=np.float32)
+        for v in range(n_views):
+            for p in range(1, n_parts + 1):
+                sel = segm == p
+                M = np.linalg.inv(cams[v]) @ motions[str(p)][v]
+                pcs[v, sel] = base[sel] @ M[:3, :3].T + M[:3, 3]
+        trans = {"cam": [cams[v] for v in range(n_views)]}
+        for p in range(1, n_parts + 1):
+            trans[p] = motions[str(p)]
+        np.savez(
+            osp.join(root, "data", "%06d.npz" % i),
+            pc=pcs,
+            segm=np.tile(segm, (n_views, 1)),
+            trans=np.array(trans, dtype=object),
+        )
+    n_test = max(1, int(n_scenes * test_frac))
+    meta = {"train": ids[:-n_test], "val": ids[-n_test:], "test": ids[-n_test:]}
+    with open(osp.join(root, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return root
+
+
 def make_sapien_root(root, n_scenes=4, n_views=4, n_points=128, n_parts=2, seed=0):
     """Write a tiny MBS-SAPIEN-format dataset: data/%06d.npz + meta.json."""
     rng = np.random.RandomState(seed)

@@ -98,6 +98,24 @@ def main():
                 ops.ball_query(br, bk, pcs, pcs, exact=True))[0]
 
             i = np.arange(n)[:, None]
+            # Adaptive design statistic: distinct cb-sized candidate
+            # blocks touched per qt-sized query tile (the contraction
+            # width of a block-sparse one-hot kernel is
+            # distinct_blocks * cb, paid per edge).
+            for cb, qt in ((128, 256), (256, 256)):
+                for name, idx in (("knn", idx_knn), ("ball", idx_ball)):
+                    blk = idx // cb
+                    nt = n // qt if n % qt == 0 else -(-n // qt)
+                    counts = []
+                    for t in range(nt):
+                        counts.append(
+                            len(np.unique(blk[t * qt:(t + 1) * qt])))
+                    counts = np.array(counts)
+                    print(f"  distinct {cb}-blocks/{qt}-tile [{name}]: "
+                          f"mean {counts.mean():.1f} p50 "
+                          f"{np.percentile(counts, 50):.0f} p95 "
+                          f"{np.percentile(counts, 95):.0f} max "
+                          f"{counts.max()} (eff W {cb*counts.mean():.0f})")
             for name, idx in (("knn", idx_knn), ("ball", idx_ball)):
                 # Row 0 is the always-present extra candidate (empty-ball
                 # fill target); self-edges are in-band by construction.
