@@ -36,6 +36,10 @@ REFERENCE_A100_SCENES_PER_SEC = 56.8
 # Same derivation for the full train_seg step (fwd + OGC loss + bwd +
 # Adam): tools/derive_baseline.py --train, BASELINE.md.
 REFERENCE_A100_TRAIN_SCENES_PER_SEC = 51.9
+# Flow-training baseline (sapien protocol, 512 pts, B=32, iters=4):
+# launch-bound A100 estimate, tools/derive_baseline.py --train_flow
+# (tools/baseline_derivation_train_flow.json, BENCHLOG r4).
+REFERENCE_A100_FLOW_TRAIN_SCENES_PER_SEC = 614.8
 
 N_POINTS = 8192
 BATCH = 8
@@ -273,11 +277,68 @@ if __name__ == "__main__":
         print(f"# train-step bench failed ({type(e).__name__}: {e}); "
               "emitting fwd-only fields", file=sys.stderr)
 
+    # ---- flow-training step (sapien reference protocol) -----------------
+    # VERDICT r4 #6: the flow-train surface must ride the driver-visible
+    # JSON, not just tools/bench_train_flow.py.
+    flow_train_sps = flow_train_ms = None
+    try:
+        import optax
+
+        from ogc_tpu.losses.flow_unsup import FlowLossConfig
+        from ogc_tpu.models.flownet import FlowStep3D
+        from ogc_tpu.train.flow import FlowTrainer
+
+        fmodel = FlowStep3D(npoint=512, arch="sapien", loc_flow_nn=8,
+                            loc_flow_rad=0.1, k_decay_fact=1.0)
+        fpc0 = jnp.zeros((1, 512, 3), jnp.float32)
+        fvars = jax.jit(lambda k, a: fmodel.init(k, a, a, a, a, 2))(
+            jax.random.PRNGKey(0), fpc0)
+        ftrainer = FlowTrainer(
+            model=fmodel, variables=fvars, model_iters=4,
+            loss_cfg=FlowLossConfig(weights=(0.75, 0.25),
+                                    iters_w=(0.5, 0.3, 0.3, 0.3)),
+            optimizer=optax.adamw(1e-3, weight_decay=1e-7),
+            exp_base="/tmp/ogc_bench_train_flow",
+            mesh=pmesh.make_mesh(jax.devices()[:1]),
+        )
+        rng_f = np.random.RandomState(0)
+        fpc1 = jnp.asarray(rng_f.rand(32, 512, 3).astype(np.float32))
+        fpc2 = fpc1 + jnp.asarray(
+            0.02 * rng_f.randn(32, 512, 3).astype(np.float32))
+        fgt = jnp.zeros((32, 512, 3), jnp.float32)
+
+        def frepeated(params, stats, opt_state, pc1, pc2, gtf):
+            def body(carry, _):
+                p, s, o = carry
+                p, s, o, ld = ftrainer._train_step_impl(
+                    p, s, o, pc1, pc2, gtf, jnp.float32(0.9))
+                return (p, s, o), ld["sum"]
+
+            _, ss = jax.lax.scan(
+                body, (params, stats, opt_state), None, length=5)
+            return ss[-1]
+
+        fjit = jax.jit(frepeated)
+        fargs = (ftrainer.params, ftrainer.batch_stats, ftrainer.opt_state,
+                 fpc1, fpc2, fgt)
+        float(fjit(*fargs)); float(fjit(*fargs))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(fjit(*fargs))
+        t_f = (time.perf_counter() - t0) / (3 * 5)
+        flow_train_ms = t_f * 1e3
+        flow_train_sps = 32 / t_f
+    except Exception as e:
+        print(f"# flow-train bench failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+
     print(
         f"# fast mode (bf16 + approx-KNN): {fast_sps:.2f} scenes/s | "
         f"parity mode (f32 + exact-KNN): {parity_sps:.2f} scenes/s"
         + (f" | train {train_sps:.2f} scenes/s ({train_ms:.1f} ms/batch)"
-           if train_sps else ""),
+           if train_sps else "")
+        + (f" | flow-train {flow_train_sps:.2f} scenes/s "
+           f"({flow_train_ms:.1f} ms/batch)" if flow_train_sps else ""),
         file=sys.stderr,
     )
     extra = {}
@@ -292,6 +353,14 @@ if __name__ == "__main__":
             # reconciliation) and the measured achievable stream ceiling.
             train_cost_gb_per_batch=round(train_cost_gb, 1),
             stream_anchor_gbs=round(stream_gbs, 0),
+        )
+    if flow_train_sps is not None:
+        extra.update(
+            flow_train_value=round(flow_train_sps, 3),
+            flow_train_vs_baseline=round(
+                flow_train_sps / REFERENCE_A100_FLOW_TRAIN_SCENES_PER_SEC,
+                3),
+            flow_train_ms_per_batch=round(flow_train_ms, 1),
         )
     print(
         json.dumps(

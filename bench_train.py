@@ -162,7 +162,8 @@ def main():
     # timing scan and XLA hoists it (one compute amortized over REPS),
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
-                     graph="reference", remat="off", smooth_exact=None):
+                     graph="reference", remat="off", smooth_exact=None,
+                     edge_engine="gather"):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -171,7 +172,7 @@ def main():
             ball_q_k=loss_cfg.ball_q_k, ball_q_radius=loss_cfg.ball_q_radius,
             symmetric_smooth_grad=symmetric,
             monitor_terms=monitors, smooth_graph=graph,
-            smooth_exact=smooth_exact,
+            smooth_exact=smooth_exact, smooth_edge_engine=edge_engine,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -189,9 +190,9 @@ def main():
 
         return step
 
-    for name, w, sym, mon, graph, remat, sm_exact in [
+    for name, w, sym, mon, graph, remat, sm_exact, engine in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
-         "reference", "off", None),
+         "reference", "off", None, "gather"),
         # Isolate the smooth-loss machinery (r4 timeline finding: every
         # r3 arm computed the smooth forward for the log dict, so its
         # cost was invisible).  weights-0 + monitors-off would DCE the
@@ -199,45 +200,53 @@ def main():
         # real data-dependent gradient while the smooth machinery is
         # statically skipped: smooth cost = full-step minus this.
         ("model + dynamic only, monitors off (no smooth machinery)",
-         (10.0, 0.0, 0.0), False, False, "reference", "off", None),
+         (10.0, 0.0, 0.0), False, False, "reference", "off", None, "gather"),
         ("+ dynamic (Kabsch)", (10.0, 0.0, 0.0), False, True, "reference",
-         "off", None),
+         "off", None, "gather"),
         # r5: 'reference' is the DEFAULT graph again (the 10-seed paired
         # ablation measured a PQ deficit for 'mutual' — PARITY.md).
         ("+ smooth reference graph (default: autodiff scatter-add)",
-         (0.0, 0.1, 0.0), False, True, "reference", "off", None),
+         (0.0, 0.1, 0.0), False, True, "reference", "off", None, "gather"),
+        # r5 MXU edge engine (block-sparse one-hot matmuls over the
+        # Morton-sorted cloud, ops/pallas_onehot.py) vs the row wall.
+        ("+ smooth reference graph via MXU edge engine",
+         (0.0, 0.1, 0.0), False, True, "reference", "off", None, "mxu"),
         ("+ smooth mutual graph (r5 opt-in: exact scatter-free grad)",
-         (0.0, 0.1, 0.0), False, True, "mutual", "off", None),
+         (0.0, 0.1, 0.0), False, True, "mutual", "off", None, "gather"),
         ("full, reference graph (default / parity graph)",
-         (10.0, 0.1, 0.1), False, True, "reference", "off", None),
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None, "gather"),
+        ("full, reference graph + MXU edge engine",
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None, "mxu"),
+        ("full, reference + MXU engine + monitor_terms off",
+         (10.0, 0.1, 0.1), False, False, "reference", "off", None, "mxu"),
         ("full, reference graph + symmetric_smooth_grad (approx bwd)",
-         (10.0, 0.1, 0.1), True, True, "reference", "off", None),
+         (10.0, 0.1, 0.1), True, True, "reference", "off", None, "gather"),
         ("full, reference graph + monitor_terms off",
-         (10.0, 0.1, 0.1), False, False, "reference", "off", None),
+         (10.0, 0.1, 0.1), False, False, "reference", "off", None, "gather"),
         ("full, mutual (r5 opt-in) + monitor_terms off",
-         (10.0, 0.1, 0.1), False, False, "mutual", "off", None),
+         (10.0, 0.1, 0.1), False, False, "mutual", "off", None, "gather"),
         # Remat arms: measured r4 — both REGRESS ~9% (the step is gather-
         # latency-bound, not byte-bound; BENCHLOG r4 roofline
         # reconciliation).  Kept for re-measurement on future configs.
         ("full, reference + remat=full (bwd recomputes fwd)",
-         (10.0, 0.1, 0.1), False, True, "reference", "full", None),
+         (10.0, 0.1, 0.1), False, True, "reference", "full", None, "gather"),
         ("full, reference + remat=dots (save matmul outputs)",
-         (10.0, 0.1, 0.1), False, True, "reference", "dots", None),
+         (10.0, 0.1, 0.1), False, True, "reference", "dots", None, "gather"),
         # r4 smoothexact arms: exact smooth-loss tables (pruned-exact ball
         # kernel) + the SCALAR mutual-membership test vs the shipping
         # approx tables + gather-based membership (~50 ms of neighbor-list
         # gathers in the r4 timeline).
         ("full, mutual + smoothexact tables (scalar membership)",
-         (10.0, 0.1, 0.1), False, True, "mutual", "off", True),
+         (10.0, 0.1, 0.1), False, True, "mutual", "off", True, "gather"),
         ("full, mutual_gather + smoothexact tables (exact + gather test)",
-         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", True),
+         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", True, "gather"),
         ("full, mutual_gather + approx tables (r3 shipping form)",
-         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", False),
+         (10.0, 0.1, 0.1), False, True, "mutual_gather", "off", False, "gather"),
     ]:
         if cli.arms is not None and cli.arms not in name:
             continue
         t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat,
-                                       sm_exact))(
+                                       sm_exact, engine))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

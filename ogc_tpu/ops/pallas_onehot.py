@@ -232,6 +232,266 @@ def _group_onehot_bwd(n_src, res, g):
 group_onehot.defvjp(_group_onehot_fwd, _group_onehot_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Block-sparse one-hot grouping: large sources, Morton-coherent tables
+# ---------------------------------------------------------------------------
+#
+# At N ~ 8192 the full-width one-hot pays N compares per edge — breakeven
+# with the gather wall.  But on a Morton-SORTED cloud the smooth-loss
+# tables touch few DISTINCT cb-sized index blocks per query tile
+# (tools/probe_edge_locality.py: mean 11-19, p95 <= 26, max 27 at
+# cb=128/qt=256 over uniform and street geometries — where any FIXED
+# band would need W=2048+ to cover the ball table's z-order excursions).
+# So: per query tile, list the candidate blocks actually present (exact,
+# computed from the table itself), loop them in the kernel with a
+# dynamic trip count, and one-hot-matmul against each 128-wide block.
+# Capacity overflow (count > _BS_CAP) falls back to the plain gather
+# path via lax.cond — results are ALWAYS exact, locality only buys
+# speed.
+
+_BS_CB = 128      # candidate block width (lanes)
+_BS_QT = 256      # query rows per tile
+_BS_CAP = 32      # candidate-list capacity (probe max 27)
+_BS_ECH = 512     # edge chunk (matmul n)
+
+
+def _bs_gather_kernel(c_dim, cap, order_ref, count_ref, idx_ref, src_ref,
+                      out_ref):
+    """out (C, qtS) = sum over candidate blocks of src_blk @ onehot."""
+    cb = _BS_CB
+    qts = idx_ref.shape[1]
+    cnt = count_ref[0, 0]
+
+    def chunk_body(c, _):
+        idx_c = idx_ref[0, pl.ds(c * _BS_ECH, _BS_ECH)]  # (ECH,)
+        idx_row = idx_c.reshape(1, _BS_ECH)
+
+        def block_body(j, acc):
+            base = order_ref[0, j] * cb
+            src_blk = src_ref[:, pl.ds(base, cb)]  # (C, cb)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (cb, _BS_ECH), 0)
+            oh = (iota == (idx_row - base)).astype(src_ref.dtype)
+            return acc + jax.lax.dot_general(
+                src_blk, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        acc0 = jnp.zeros((c_dim, _BS_ECH), jnp.float32)
+        acc = jax.lax.fori_loop(0, cnt, block_body, acc0)
+        out_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)] = acc.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, qts // _BS_ECH, chunk_body, 0)
+
+
+def _bs_scatter_kernel(c_dim, cap, order_ref, count_ref, idx_ref, cot_ref,
+                       out_ref):
+    """grad (C, N) += cot_chunk @ onehot.T per candidate block,
+    accumulated across query tiles (sequential grid revisits)."""
+    cb = _BS_CB
+    qts = idx_ref.shape[1]
+    cnt = count_ref[0, 0]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    def chunk_body(c, _):
+        idx_c = idx_ref[0, pl.ds(c * _BS_ECH, _BS_ECH)]
+        idx_col = idx_c.reshape(_BS_ECH, 1)
+        cot_c = cot_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)]  # (C, ECH)
+
+        def block_body(j, _):
+            base = order_ref[0, j] * cb
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (_BS_ECH, cb), 1)
+            oh = (iota == (idx_col - base)).astype(cot_ref.dtype)
+            upd = jax.lax.dot_general(
+                cot_c, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[:, pl.ds(base, cb)] = (
+                out_ref[:, pl.ds(base, cb)] + upd.astype(out_ref.dtype))
+            return 0
+
+        jax.lax.fori_loop(0, cnt, block_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, qts // _BS_ECH, chunk_body, 0)
+
+
+def _bs_prologue(idx: Array, n_pad: int):
+    """Per-tile candidate-block lists from the table itself (exact).
+
+    :param idx: (B, M, S) int32; M padded to _BS_QT by the caller.
+    :return: order (B, nt, CAP) int32 present-block ids (ascending,
+        garbage past count), count (B, nt, 1) clamped to CAP,
+        overflow () bool.
+    """
+    B, M, S = idx.shape
+    nb = n_pad // _BS_CB
+    nt = M // _BS_QT
+    blk = (idx // _BS_CB).reshape(B, nt, _BS_QT * S)
+    iota_b = jnp.arange(nb, dtype=jnp.int32)
+    # (B, nt, qtS, nb) compare fused into the any-reduce (never
+    # materialized at full rank by XLA's reduce fusion).
+    presence = jnp.any(
+        blk[..., None] == iota_b[None, None, None, :], axis=2)
+    count = jnp.sum(presence, axis=-1, dtype=jnp.int32)  # (B, nt)
+    key = jnp.where(presence, iota_b, nb + iota_b)
+    order = jnp.sort(key, axis=-1)[..., :_BS_CAP] % nb
+    overflow = jnp.any(count > _BS_CAP)
+    return (order.astype(jnp.int32),
+            jnp.minimum(count, _BS_CAP)[..., None], overflow)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _bs_gather_call(src_t, idx_flat, order, count, et_dummy=None):
+    _ensure_pallas()
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, N = src_t.shape
+    nt = order.shape[1]
+    qts = idx_flat.shape[1] // nt
+    kern = functools.partial(_bs_gather_kernel, C, _BS_CAP)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((None, 1, _BS_CAP), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, qts), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((None, C, N), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, C, qts), lambda b, t: (b, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((B, C, nt * qts), src_t.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=_interpret(),
+    )(order, count, idx_flat.reshape(B, nt, qts), src_t)
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _bs_scatter_call(cot_t, idx_flat, order, count, n: int):
+    _ensure_pallas()
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, E = cot_t.shape
+    nt = order.shape[1]
+    qts = E // nt
+    kern = functools.partial(_bs_scatter_kernel, C, _BS_CAP)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((None, 1, _BS_CAP), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, qts), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((None, C, qts), lambda b, t: (b, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((None, C, n), lambda b, t: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=_interpret(),
+    )(order, count, idx_flat.reshape(B, nt, qts), cot_t)
+
+
+def _bs_pad(idx: Array):
+    """Pad (B, M, S): M to _BS_QT and S to even (so each tile's edge
+    count divides _BS_ECH).  Pad entries reference row 0 — their outputs
+    are sliced off (fwd) / carry zero cotangent (bwd)."""
+    B, M, S = idx.shape
+    m_pad = _pad_to(M, _BS_QT)
+    s_pad = _pad_to(S, 2)
+    idx_p = idx
+    if m_pad != M or s_pad != S:
+        idx_p = jnp.pad(idx, ((0, 0), (0, m_pad - M), (0, s_pad - S)))
+    return idx_p.astype(jnp.int32), m_pad, s_pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def group_blocksparse(points: Array, idx: Array, n_src: int) -> Array:
+    """ops.group via the adaptive block-sparse one-hot kernel.
+
+    Exact for ANY index table (overflowing tiles route the whole call to
+    the plain gather path via lax.cond); FAST when the table is
+    Morton-coherent (smooth-loss tables on a sorted cloud).  Forward
+    gather and backward scatter-add both run on the MXU; the backward
+    accumulates f32 in a fixed sequential order (deterministic).
+    """
+    out, _ = _group_bs_fwd(points, idx, n_src)
+    return out
+
+
+def _group_bs_fwd(points, idx, n_src):
+    from ogc_tpu.ops import core as _core
+
+    B, M, S = idx.shape
+    N, C = points.shape[1], points.shape[2]
+    idx_p, m_pad, s_pad = _bs_pad(idx)
+    n_pad = _pad_to(N, _BS_CB)
+    order, count, overflow = _bs_prologue(idx_p, n_pad)
+
+    def mxu(args):
+        pts, idxp = args
+        src_t = jnp.swapaxes(pts, 1, 2)
+        if n_pad != N:
+            src_t = jnp.pad(src_t, ((0, 0), (0, 0), (0, n_pad - N)))
+        out_t = _bs_gather_call(
+            src_t, idxp.reshape(B, m_pad * s_pad), order, count)
+        return jnp.swapaxes(out_t, 1, 2).reshape(
+            B, m_pad, s_pad, C)[:, :M, :S]
+
+    def fallback(args):
+        pts, idxp = args
+        return _core._group_plain(pts, idxp)[:, :M, :S]
+
+    out = jax.lax.cond(overflow, fallback, mxu, (points, idx_p))
+    return out, (idx_p, order, count, overflow,
+                 jnp.zeros((0,), points.dtype))
+
+
+def _group_bs_bwd(n_src, res, g):
+    idx_p, order, count, overflow, proto = res
+    B, m_pad, s_pad = idx_p.shape
+    C = g.shape[-1]
+    M, S = g.shape[1], g.shape[2]
+    n_pad = _pad_to(n_src, _BS_CB)
+    if m_pad != M or s_pad != S:
+        g = jnp.pad(g, ((0, 0), (0, m_pad - M), (0, s_pad - S), (0, 0)))
+    g = g.astype(jnp.float32)
+
+    def mxu(args):
+        gg, idxp = args
+        cot_t = jnp.swapaxes(gg.reshape(B, m_pad * s_pad, C), 1, 2)
+        grad_t = _bs_scatter_call(
+            cot_t, idxp.reshape(B, m_pad * s_pad), order, count, n_pad)
+        return jnp.swapaxes(grad_t, 1, 2)[:, :n_src]
+
+    def fallback(args):
+        gg, idxp = args
+        flat = idxp.reshape(B, m_pad * s_pad)
+        return jnp.zeros((B, n_src, C), jnp.float32).at[
+            jnp.arange(B)[:, None], flat].add(
+                gg.reshape(B, m_pad * s_pad, C))
+
+    d = jax.lax.cond(overflow, fallback, mxu, (g, idx_p))
+    return d.astype(proto.dtype), np.zeros(
+        (B, M, S), dtype=jax.dtypes.float0)
+
+
+group_blocksparse.defvjp(_group_bs_fwd, _group_bs_bwd)
+
+
 def onehot_path_applicable(n_src: int, n_rows: int, c: int) -> bool:
     """Static routing gate for the one-hot group path.
 

@@ -1,5 +1,7 @@
 """Golden / property tests for the unsupervised OGC losses."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -465,3 +467,72 @@ def test_scalar_mutual_gated_off_for_approx_tables():
     finally:
         SU._mutual_discrepancy = orig
     assert called.get("gather"), "approx tables must use the gather test"
+
+
+def test_smooth_mxu_engine_matches_gather_on_uncrowded_graphs():
+    """With no crowded balls and no knn ties, the MXU engine's edge SET
+    equals the gather engine's (sorting only permutes a uniquely-
+    determined set), so the loss values must agree to fp-sum tolerance;
+    on crowded/tie geometries only the documented tie/fill picks differ."""
+    rng = np.random.RandomState(11)
+    B, N, K = 2, 256, 5
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, N, K).astype(np.float32)), -1)
+    # ball_k large enough to hold every in-radius member -> no fill
+    # ambiguity; generic float cloud -> no exact d2 ties.
+    cfg_g = L.OGCLossConfig(knn_k=6, knn_radius=0.3, ball_q_k=48,
+                            ball_q_radius=0.12)
+    cfg_m = dataclasses.replace(cfg_g, smooth_edge_engine="mxu")
+    lg = float(L.smooth_loss(pc, mask, cfg_g))
+    lm = float(L.smooth_loss(pc, mask, cfg_m))
+    assert abs(lg - lm) < 1e-5, (lg, lm)
+
+
+def test_smooth_mxu_engine_grad_matches_plain_group_oracle():
+    """Bitwise-level check: _smooth_mxu with group_blocksparse swapped
+    for the plain XLA group must give the identical loss and matching
+    gradients — isolates the kernel from the (documented) edge-set
+    permutation effects."""
+    import ogc_tpu.ops.pallas_onehot as OH
+
+    rng = np.random.RandomState(12)
+    B, N, K = 2, 200, 4
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    logits = jnp.asarray(rng.randn(B, N, K).astype(np.float32))
+    cfg = L.OGCLossConfig(knn_k=5, knn_radius=0.3, ball_q_k=8,
+                          ball_q_radius=0.15, smooth_edge_engine="mxu")
+
+    def loss_fn(lg):
+        return L.smooth_loss(pc, jax.nn.softmax(lg, -1), cfg)
+
+    v1, g1 = jax.value_and_grad(loss_fn)(logits)
+
+    from test_onehot_group import _plain_group_shim
+
+    orig = OH.group_blocksparse
+    OH.group_blocksparse = _plain_group_shim
+    try:
+        v2, g2 = jax.value_and_grad(loss_fn)(logits)
+    finally:
+        OH.group_blocksparse = orig
+    assert abs(float(v1) - float(v2)) < 1e-6
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_smooth_mxu_engine_routing_gates():
+    """mxu engine only routes for the reference graph w/o CE/symgrad;
+    other combos keep the gather path (no crash, finite values)."""
+    rng = np.random.RandomState(13)
+    pc = jnp.asarray(rng.rand(1, 128, 3).astype(np.float32))
+    mask = jax.nn.softmax(
+        jnp.asarray(rng.randn(1, 128, 3).astype(np.float32)), -1)
+    for kw in (dict(smooth_graph="mutual"),
+               dict(cross_entropy=True),
+               dict(symmetric_smooth_grad=True)):
+        cfg = L.OGCLossConfig(knn_k=4, knn_radius=0.3, ball_q_k=6,
+                              ball_q_radius=0.2,
+                              smooth_edge_engine="mxu", **kw)
+        v = float(L.smooth_loss(pc, mask, cfg))
+        assert np.isfinite(v)
