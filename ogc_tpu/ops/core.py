@@ -402,6 +402,16 @@ def group(points: Array, idx: Array,
 
     B, M, S = idx.shape
     N, C = points.shape[-2], points.shape[-1]
+    from ogc_tpu.ops.pallas_onehot import onehot_path_applicable
+
+    if onehot_path_applicable(N, M * S, C):
+        # One-hot-matmul path (r5): gather AND backward scatter as MXU
+        # matmuls — beats the flat ~7.1 ns/row gather wall for small
+        # sources (ops/pallas_onehot.py; on-chip A/B in
+        # tools/bench_group_onehot.py).  OGC_GROUP_ONEHOT gates.
+        from ogc_tpu.ops.pallas_onehot import group_onehot
+
+        return group_onehot(points, idx, N)
     mode = os.environ.get("OGC_PALLAS_SCATTER", "")
     route = scatter_kernel_bwd or mode in ("all", "narrow")
     if route and scatter_path_applicable(N, M * S, C):

@@ -263,8 +263,7 @@ def _bs_gather_kernel(c_dim, cap, order_ref, count_ref, idx_ref, src_ref,
     cnt = count_ref[0, 0]
 
     def chunk_body(c, _):
-        idx_c = idx_ref[0, pl.ds(c * _BS_ECH, _BS_ECH)]  # (ECH,)
-        idx_row = idx_c.reshape(1, _BS_ECH)
+        idx_row = idx_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)]  # (1, ECH)
 
         def block_body(j, acc):
             base = order_ref[0, j] * cb
@@ -300,20 +299,21 @@ def _bs_scatter_kernel(c_dim, cap, order_ref, count_ref, idx_ref, cot_ref,
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
     def chunk_body(c, _):
-        idx_c = idx_ref[0, pl.ds(c * _BS_ECH, _BS_ECH)]
-        idx_col = idx_c.reshape(_BS_ECH, 1)
-        cot_c = cot_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)]  # (C, ECH)
+        idx_row = idx_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)]  # (1, ECH)
+        cot_c = cot_ref[:, pl.ds(c * _BS_ECH, _BS_ECH)]    # (C, ECH)
 
         def block_body(j, _):
             base = order_ref[0, j] * cb
+            # Same (cb, ECH) one-hot orientation as the gather kernel (no
+            # (ECH, 1) relayout); contract both operands on their ECH dim.
             iota = jax.lax.broadcasted_iota(
-                jnp.int32, (_BS_ECH, cb), 1)
-            oh = (iota == (idx_col - base)).astype(cot_ref.dtype)
+                jnp.int32, (cb, _BS_ECH), 0)
+            oh = (iota == (idx_row - base)).astype(cot_ref.dtype)
             upd = jax.lax.dot_general(
-                cot_c, oh, (((1,), (0,)), ((), ())),
+                cot_c, oh, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
-            )
+            )  # (C, cb)
             out_ref[:, pl.ds(base, cb)] = (
                 out_ref[:, pl.ds(base, cb)] + upd.astype(out_ref.dtype))
             return 0
@@ -505,7 +505,10 @@ def onehot_path_applicable(n_src: int, n_rows: int, c: int) -> bool:
 
     from ogc_tpu.ops.core import pallas_available
 
-    mode = os.environ.get("OGC_GROUP_ONEHOT", "auto")
+    # Default "off" until the on-chip A/B (tools/bench_group_onehot.py)
+    # pins the crossover; "auto" enables the calibrated gate below,
+    # "all" any VMEM-feasible shape (sweeps).
+    mode = os.environ.get("OGC_GROUP_ONEHOT", "off")
     if mode == "off" or not pallas_available():
         return False
     n_pad = _pad_to(n_src, 128)
