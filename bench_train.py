@@ -163,7 +163,7 @@ def main():
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
                      graph="reference", remat="off", smooth_exact=None,
-                     edge_engine="gather"):
+                     edge_engine="gather", scat_kernel=False):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -173,6 +173,7 @@ def main():
             symmetric_smooth_grad=symmetric,
             monitor_terms=monitors, smooth_graph=graph,
             smooth_exact=smooth_exact, smooth_edge_engine=edge_engine,
+            smooth_scatter_kernel=scat_kernel,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -190,6 +191,15 @@ def main():
 
         return step
 
+    extra_arms = [
+        # Targeted VMEM-scatter routing for the reference-graph smooth
+        # backward ONLY (smooth_scatter_kernel) — the r4 closure measured
+        # blanket routing; the smooth tables are the distribution the
+        # kernel wins on isolated (10.6-16.4 vs 18-25 ns/row).
+        ("full, reference graph + smooth-only VMEM scatter kernel",
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None,
+         "gather", True),
+    ]
     for name, w, sym, mon, graph, remat, sm_exact, engine in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
          "reference", "off", None, "gather"),
@@ -247,6 +257,14 @@ def main():
             continue
         t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat,
                                        sm_exact, engine))(
+            trainer.params, trainer.opt_state, pcs, flows
+        )
+        print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)
+    for name, w, sym, mon, graph, remat, sm_exact, engine, sk in extra_arms:
+        if cli.arms is not None and cli.arms not in name:
+            continue
+        t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat,
+                                       sm_exact, engine, sk))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

@@ -540,7 +540,7 @@ def knn_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
-    exact: Optional[bool] = None,
+    exact: Optional[bool] = None, scatter_kernel_bwd: bool = False,
 ) -> Array:
     """KNN smoothness with radius clamp (reference KnnLoss,
     losses/seg_loss_unsup.py:101-129).
@@ -575,7 +575,7 @@ def knn_smooth_loss(
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
-    nn_mask = ops.group(mask, idx)  # (B, N, k, K)
+    nn_mask = ops.group(mask, idx, scatter_kernel_bwd=scatter_kernel_bwd)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
 
@@ -583,7 +583,7 @@ def ball_q_smooth_loss(
     pc: Array, mask: Array, k: int, radius: float,
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
-    exact: Optional[bool] = None,
+    exact: Optional[bool] = None, scatter_kernel_bwd: bool = False,
 ) -> Array:
     """Ball-query smoothness (reference BallQLoss,
     losses/seg_loss_unsup.py:132-158).  graph="mutual" / `exact` as in
@@ -606,7 +606,7 @@ def ball_q_smooth_loss(
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
-    nn_mask = ops.group(mask, idx)
+    nn_mask = ops.group(mask, idx, scatter_kernel_bwd=scatter_kernel_bwd)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
 
@@ -773,6 +773,14 @@ class OGCLossConfig:
     # Fast-mode opt-in: the sorted order changes approx tie/fill edge
     # picks (deviation class of PARITY.md deviation 1).
     smooth_edge_engine: str = "gather"
+    # Route the reference-graph smooth backward through the Pallas VMEM
+    # scatter-add kernel (ops/pallas_scatter.py) instead of XLA's
+    # scatter.  The r4 closure measured BLANKET routing (model gathers
+    # included: regression); this field targets ONLY the smooth-loss
+    # groups, whose near-uniform full-cloud tables are the distribution
+    # the kernel wins on isolated (10.6-16.4 vs 18-25 ns/row).  A/B arm
+    # in bench_train.py under the r5 reference-graph default.
+    smooth_scatter_kernel: bool = False
     # When False, monitoring-only computations are skipped statically:
     # entropy/rank (reference seg_loss_unsup.py:328-330, never in backprop)
     # and any weighted term whose weight is exactly 0.0 in the config (the
@@ -813,6 +821,7 @@ class OGCLossConfig:
             symmetric_smooth_grad=s.get("symmetric_grad", False),
             smooth_graph=graph,
             smooth_edge_engine=s.get("edge_engine", "gather"),
+            smooth_scatter_kernel=s.get("scatter_kernel", False),
             monitor_terms=loss_cfg.get("monitor_terms", True),
         )
 
@@ -831,11 +840,13 @@ def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
         pc, mask, cfg.knn_k, cfg.knn_radius, cfg.cross_entropy,
         cfg.knn_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
         exact=cfg.smooth_exact,
+        scatter_kernel_bwd=cfg.smooth_scatter_kernel,
     )
     l_bq = ball_q_smooth_loss(
         pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
         cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
         exact=cfg.smooth_exact,
+        scatter_kernel_bwd=cfg.smooth_scatter_kernel,
     )
     return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
 

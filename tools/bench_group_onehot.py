@@ -61,13 +61,18 @@ def main():
         def fwd_oh(i, s):
             return jnp.sum(group_onehot(s, i, N).astype(jnp.float32))
 
+        # fwd+bwd arms: the value must depend NONLINEARLY on the gather
+        # output — grad(sum(out * const)) = scatter(const) is loop-
+        # invariant inside the timing scan and XLA hoists it (the r5
+        # first-run fb numbers were measured hoisted; CLAUDE.md trap).
         def fb_xla(i, s):
             return jnp.sum(jax.grad(
-                lambda ss: jnp.sum(core.group(ss, i) * cot))(s))
+                lambda ss: jnp.sum(jnp.square(core.group(ss, i) - cot)))(s))
 
         def fb_oh(i, s):
             return jnp.sum(jax.grad(
-                lambda ss: jnp.sum(group_onehot(ss, i, N) * cot))(s))
+                lambda ss: jnp.sum(
+                    jnp.square(group_onehot(ss, i, N) - cot)))(s))
 
         tag = f"B{B}_N{N}_E{M*S}_C{C}"
         row = {"shape": tag, "rows": rows}
