@@ -344,6 +344,9 @@ def _bs_prologue(idx: Array, n_pad: int):
     count = jnp.sum(presence, axis=-1, dtype=jnp.int32)  # (B, nt)
     key = jnp.where(presence, iota_b, nb + iota_b)
     order = jnp.sort(key, axis=-1)[..., :_BS_CAP] % nb
+    if order.shape[-1] < _BS_CAP:  # nb < CAP: pad (count caps the loop)
+        order = jnp.pad(
+            order, ((0, 0), (0, 0), (0, _BS_CAP - order.shape[-1])))
     overflow = jnp.any(count > _BS_CAP)
     return (order.astype(jnp.int32),
             jnp.minimum(count, _BS_CAP)[..., None], overflow)
@@ -358,15 +361,20 @@ def _bs_gather_call(src_t, idx_flat, order, count, et_dummy=None):
     nt = order.shape[1]
     qts = idx_flat.shape[1] // nt
     kern = functools.partial(_bs_gather_kernel, C, _BS_CAP)
+    # Per-tile SMEM/VMEM rows ride a flattened (B*nt, 1, X) leading dim:
+    # Mosaic requires the block's last two dims be 8/128-divisible OR
+    # equal to the array dims — a (1, X) block over a (nt, X) array is
+    # neither (the r3 pruned kernels hit the same rule).
     return pl.pallas_call(
         kern,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((None, 1, _BS_CAP), lambda b, t: (b, t, 0),
+            pl.BlockSpec((None, 1, _BS_CAP),
+                         lambda b, t: (b * nt + t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 1), lambda b, t: (b, t, 0),
+            pl.BlockSpec((None, 1, 1), lambda b, t: (b * nt + t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, qts), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((None, 1, qts), lambda b, t: (b * nt + t, 0, 0)),
             pl.BlockSpec((None, C, N), lambda b, t: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((None, C, qts), lambda b, t: (b, 0, t)),
@@ -374,7 +382,8 @@ def _bs_gather_call(src_t, idx_flat, order, count, et_dummy=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=_interpret(),
-    )(order, count, idx_flat.reshape(B, nt, qts), src_t)
+    )(order.reshape(B * nt, 1, _BS_CAP), count.reshape(B * nt, 1, 1),
+      idx_flat.reshape(B * nt, 1, qts), src_t)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -390,11 +399,12 @@ def _bs_scatter_call(cot_t, idx_flat, order, count, n: int):
         kern,
         grid=(B, nt),
         in_specs=[
-            pl.BlockSpec((None, 1, _BS_CAP), lambda b, t: (b, t, 0),
+            pl.BlockSpec((None, 1, _BS_CAP),
+                         lambda b, t: (b * nt + t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, 1), lambda b, t: (b, t, 0),
+            pl.BlockSpec((None, 1, 1), lambda b, t: (b * nt + t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, qts), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((None, 1, qts), lambda b, t: (b * nt + t, 0, 0)),
             pl.BlockSpec((None, C, qts), lambda b, t: (b, 0, t)),
         ],
         out_specs=pl.BlockSpec((None, C, n), lambda b, t: (b, 0, 0)),
@@ -402,7 +412,8 @@ def _bs_scatter_call(cot_t, idx_flat, order, count, n: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=_interpret(),
-    )(order, count, idx_flat.reshape(B, nt, qts), cot_t)
+    )(order.reshape(B * nt, 1, _BS_CAP), count.reshape(B * nt, 1, 1),
+      idx_flat.reshape(B * nt, 1, qts), cot_t)
 
 
 def _bs_pad(idx: Array):
