@@ -106,16 +106,61 @@ def main():
 
     set_compute_dtype(jnp.bfloat16)
 
-    results = [
-        bench_one("sapien_ref_protocol", 512, 32, 4, "sapien", 8, 0.1,
-                  (0.5, 0.3, 0.3, 0.3)),
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", type=str, default=None,
+                    help="substring filter on arm names; default: the two "
+                         "headline protocols only (r4 behavior)")
+    cli = ap.parse_args()
+
+    def want(name):
+        return cli.arms is not None and cli.arms in name
+
+    results = []
+    if cli.arms is None or want("sapien_ref_protocol"):
+        results.append(
+            bench_one("sapien_ref_protocol", 512, 32, 4, "sapien", 8, 0.1,
+                      (0.5, 0.3, 0.3, 0.3)))
+    # ---- r5 decomposition arms (VERDICT r4 #5: the 61.4 ms step was a
+    # single unexplained number).  Each isolates one axis of the sapien
+    # protocol; run with --arms decomp for the set.
+    if want("decomp"):
+        # Recurrence depth: iters=1 vs the protocol's 4 — splits the
+        # prefix (encoders + global corr + flow0) from the GRU body.
+        results.append(
+            bench_one("decomp_iters1", 512, 32, 1, "sapien", 8, 0.1,
+                      (0.5,)))
+        results.append(
+            bench_one("decomp_iters2", 512, 32, 2, "sapien", 8, 0.1,
+                      (0.5, 0.3)))
+        # Batch scaling: latency/launch-bound steps scale sub-linearly in
+        # B; a compute-bound step doubles.
+        results.append(
+            bench_one("decomp_B64", 512, 64, 4, "sapien", 8, 0.1,
+                      (0.5, 0.3, 0.3, 0.3)))
+        results.append(
+            bench_one("decomp_B128", 512, 128, 4, "sapien", 8, 0.1,
+                      (0.5, 0.3, 0.3, 0.3)))
+        # One-hot grouping for the 512-pt gathers (ops/pallas_onehot.py;
+        # standalone A/B: 1.16x fwd at N=512).
+        os.environ["OGC_GROUP_ONEHOT"] = "all"
+        try:
+            results.append(
+                bench_one("decomp_onehot_groups", 512, 32, 4, "sapien",
+                          8, 0.1, (0.5, 0.3, 0.3, 0.3)))
+        finally:
+            os.environ["OGC_GROUP_ONEHOT"] = "off"
+    if cli.arms is None or want("kitti_scale_probe"):
         # Stored activations at 8192 x B8 x iters4 OOM the 16 GB HBM
         # (384 MB temps per grouped level x iterations) — this probe is
         # the remat machinery's actual use case: per-GRU-iteration
         # nn.remat (model remat_refine) + whole-forward jax.checkpoint.
-        bench_one("kitti_scale_probe", 8192, 4, 4, "kitti", 16, 1.5,
-                  (0.5, 0.3, 0.3, 0.3), remat="full", remat_refine=True),
-    ]
+        results.append(
+            bench_one("kitti_scale_probe", 8192, 4, 4, "kitti", 16, 1.5,
+                      (0.5, 0.3, 0.3, 0.3), remat="full",
+                      remat_refine=True))
     print(json.dumps(results))
 
 
