@@ -76,6 +76,50 @@ def flow_smoke(args, tmp, root, env, run):
     assert "EPE" in out or "epe" in out, out[-500:]
 
 
+def scalar_mutual_smoke():
+    """On-chip scalar-vs-gather mutual-membership A/B on CONTINUOUS
+    clouds (ADVICE r4: the CPU oracle tests use grid-quantized clouds and
+    cannot see the ~1-ulp FMA-contraction divergence class between the
+    XLA-recomputed d2 in the loss body and the Pallas kernels'
+    uncontracted d2 — losses/seg_unsup.py::_mutual_discrepancy_scalar).
+    Bounds the loss/grad divergence and the flipped-edge fraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from ogc_tpu.losses import seg_unsup as L
+
+    rng = np.random.RandomState(0)
+    worst = {"loss": 0.0, "grad": 0.0}
+    for trial in range(4):
+        pc = jnp.asarray(
+            30.0 * rng.rand(2, 8192, 3).astype(np.float32))
+        logits = jnp.asarray(rng.randn(2, 8192, 10).astype(np.float32))
+
+        def loss(lg, graph):
+            mask = jax.nn.softmax(lg, -1)
+            lk = L.knn_smooth_loss(pc, mask, 32, 1.0, graph=graph,
+                                   exact=True)
+            lb = L.ball_q_smooth_loss(pc, mask, 64, 2.0, graph=graph,
+                                      exact=True)
+            return 3.0 * lk + 1.0 * lb
+
+        vs, gs = jax.value_and_grad(loss)(logits, "mutual")
+        vg, gg = jax.value_and_grad(loss)(logits, "mutual_gather")
+        dl = abs(float(vs) - float(vg)) / max(abs(float(vg)), 1e-12)
+        dgnum = float(jnp.max(jnp.abs(gs - gg)))
+        dgden = float(jnp.max(jnp.abs(gg)))
+        worst["loss"] = max(worst["loss"], dl)
+        worst["grad"] = max(worst["grad"], dgnum / max(dgden, 1e-12))
+        print(f"  trial {trial}: rel dloss {dl:.2e}, "
+              f"rel dgrad_max {dgnum/max(dgden,1e-12):.2e}", flush=True)
+    # Knife-edge flips hit isolated edges; anything systematic would
+    # blow these bounds by orders of magnitude.
+    assert worst["loss"] < 1e-4, worst
+    assert worst["grad"] < 1e-2, worst
+    print(f"scalar_mutual ok: worst rel dloss {worst['loss']:.2e}, "
+          f"worst rel dgrad {worst['grad']:.2e}", flush=True)
+
+
 def vote_scale_smoke():
     """mask_voting at OUTDOOR scale on the real chip: T=6 frames x 8192
     points x K=10 slots, time window 3 — the configuration whose dense form
@@ -179,7 +223,8 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="run in the bf16 compute mode")
     ap.add_argument("--mode",
-                    choices=("seg", "flow", "vote_scale", "pool_kernel"),
+                    choices=("seg", "flow", "vote_scale", "pool_kernel",
+                             "scalar_mutual"),
                     default="seg",
                     help="seg: round-alternation pipeline; flow: "
                          "train_flow + test_flow --save; vote_scale: "
@@ -192,6 +237,10 @@ def main():
     if args.mode == "vote_scale":
         vote_scale_smoke()
         print("TPU E2E SMOKE OK [vote_scale]", flush=True)
+        return
+    if args.mode == "scalar_mutual":
+        scalar_mutual_smoke()
+        print("TPU E2E SMOKE OK [scalar_mutual]", flush=True)
         return
     if args.mode == "pool_kernel":
         pool_kernel_smoke()
