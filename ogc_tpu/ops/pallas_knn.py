@@ -336,7 +336,47 @@ def _resolve_exact_emit(mode: str, k: int) -> str:
     return mode
 
 
-def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
+def _fill_d2_scratch(d2_mode, n_mtiles, q_ref, p_ref, d2_scr):
+    """Fill the (Mp, qt) d2 scratch, direct or expanded form.
+
+    "vpu": the reference's own arithmetic — per-coordinate f32
+    (p - q)^2 sums (interpolate_gpu.cu:15-18); bit-faithful.
+    "mxu": expanded form |p|^2 - 2 p.q + |q|^2 with the cross term on
+    the MXU (K=3 f32 HIGHEST dot).  NOT bit-faithful: carries
+    ~eps_f32 * (|p| + |q|)^2 absolute error from cancellation at scene
+    scale — callers must certify selections against that band
+    (knn_exact_mxu_certified) or accept approximate results.  Built for
+    VERDICT r4 #4 (the certified-MXU exact arm)."""
+    qx = q_ref[0, 0:1, :]
+    qy = q_ref[0, 1:2, :]
+    qz = q_ref[0, 2:3, :]
+    if d2_mode == "mxu":
+        q3 = q_ref[0, :, :]                                  # (3, qt)
+        qn = qx * qx + qy * qy + qz * qz                     # (1, qt)
+
+    def mstep(mt, _):
+        sl = pl.ds(mt * _TM, _TM)
+        p = p_ref[0, sl, :]
+        if d2_mode == "mxu":
+            pn = jnp.sum(p * p, axis=1, keepdims=True)       # (TM, 1)
+            dot = jax.lax.dot_general(
+                p, q3, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                # (TM, qt)
+            d2_scr[sl, :] = jnp.maximum(pn + qn - 2.0 * dot, 0.0)
+        else:
+            dx = p[:, 0:1] - qx
+            dy = p[:, 1:2] - qy
+            dz = p[:, 2:3] - qz
+            d2_scr[sl, :] = dx * dx + dy * dy + dz * dz
+        return 0
+
+    jax.lax.fori_loop(0, n_mtiles, mstep, 0)
+
+
+def _knn_exact_kernel(k, n_mtiles, d2_mode, q_ref, p_ref, dist_ref, idx_ref,
+                      d2_scr):
     """Exact KNN: full-precision f32 d2 + (d2, idx) lexicographic k-round
     extraction.  No block-min thinning and no packed-key mantissa
     truncation — bit-faithful to the reference semantics
@@ -356,20 +396,7 @@ def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
     time) with a lexicographic running minimum, so peak temporaries stay
     at (TM, qt) regardless of Mp.
     """
-    qx = q_ref[0, 0:1, :]
-    qy = q_ref[0, 1:2, :]
-    qz = q_ref[0, 2:3, :]
-
-    def mstep(mt, _):
-        sl = pl.ds(mt * _TM, _TM)
-        p = p_ref[0, sl, :]
-        dx = p[:, 0:1] - qx
-        dy = p[:, 1:2] - qy
-        dz = p[:, 2:3] - qz
-        d2_scr[sl, :] = dx * dx + dy * dy + dz * dz
-        return 0
-
-    jax.lax.fori_loop(0, n_mtiles, mstep, 0)
+    _fill_d2_scratch(d2_mode, n_mtiles, q_ref, p_ref, d2_scr)
 
     qt = q_ref.shape[2]
     inf = jnp.float32(jnp.inf)
@@ -404,8 +431,8 @@ def _knn_exact_kernel(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref, d2_scr):
         last_d, last_i = nd, ni
 
 
-def _knn_exact_kernel_removal(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
-                              d2_scr):
+def _knn_exact_kernel_removal(k, n_mtiles, d2_mode, q_ref, p_ref, dist_ref,
+                              idx_ref, d2_scr):
     """Exact KNN with destructive winner removal: identical contract to
     _knn_exact_kernel (ascending d2, ties to the lower index — reference
     interpolate_gpu.cu:30-46), cheaper emission loop.
@@ -419,20 +446,7 @@ def _knn_exact_kernel_removal(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
     index: removed elements carry +inf and the per-round index pick is
     min(ids | d2 == round_min).
     """
-    qx = q_ref[0, 0:1, :]
-    qy = q_ref[0, 1:2, :]
-    qz = q_ref[0, 2:3, :]
-
-    def mstep(mt, _):
-        sl = pl.ds(mt * _TM, _TM)
-        p = p_ref[0, sl, :]
-        dx = p[:, 0:1] - qx
-        dy = p[:, 1:2] - qy
-        dz = p[:, 2:3] - qz
-        d2_scr[sl, :] = dx * dx + dy * dy + dz * dz
-        return 0
-
-    jax.lax.fori_loop(0, n_mtiles, mstep, 0)
+    _fill_d2_scratch(d2_mode, n_mtiles, q_ref, p_ref, d2_scr)
 
     qt = q_ref.shape[2]
     inf = jnp.float32(jnp.inf)
@@ -469,16 +483,17 @@ def _knn_exact_kernel_removal(k, n_mtiles, q_ref, p_ref, dist_ref, idx_ref,
         last_i = ni
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _knn_exact_pallas(query_t: Array, points: Array, k: int,
                       interpret: bool = False,
                       emit: str = "lex",
-                      qt: int = _QT_EXACT) -> Tuple[Array, Array]:
+                      qt: int = _QT_EXACT,
+                      d2_mode: str = "vpu") -> Tuple[Array, Array]:
     B, _, Np = query_t.shape
     Mp = points.shape[1]
     kfn = (_knn_exact_kernel_removal if emit == "removal"
            else _knn_exact_kernel)
-    kernel = functools.partial(kfn, k, Mp // _TM)
+    kernel = functools.partial(kfn, k, Mp // _TM, d2_mode)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -533,7 +548,7 @@ def _exact_qt(mp: int, n: int) -> int:
 
 def knn_exact(
     k: int, query: Array, points: Array, interpret: bool = False,
-    emit: str | None = None,
+    emit: str | None = None, d2_mode: str = "vpu",
 ) -> Tuple[Array, Array]:
     """EXACT k-nearest-neighbors via the fused Pallas kernel.
 
@@ -562,11 +577,114 @@ def knn_exact(
     dist, idx = _knn_exact_pallas(
         q_t, p, k, interpret,
         _resolve_exact_emit(_EXACT_EMIT_ENV if emit is None else emit, k),
-        qt)
+        qt, d2_mode)
     return (
         jnp.swapaxes(dist, 1, 2)[:, :N],
         jnp.swapaxes(idx, 1, 2)[:, :N],
     )
+
+
+# ---------------------------------------------------------------------------
+# Certified-MXU exact KNN (VERDICT r4 #4 arm)
+# ---------------------------------------------------------------------------
+
+_F32_EPS = 2.0 ** -24  # f32 unit roundoff (half ulp at 1.0)
+
+
+def _expanded_band(query: Array, points: Array) -> Array:
+    """Rigorous per-batch bound on |d2_expanded - d2_direct| for f32
+    HIGHEST arithmetic.
+
+    Expanded form: d2e = fl(|p|^2) + fl(|q|^2) - 2 fl(p.q), each term a
+    3-element f32 reduction (<= 2 rounding steps, magnitude <= |x|^2),
+    the dot at Precision.HIGHEST (>= f32-accurate, error <= 3 eps
+    |p||q|), plus 2 rounding steps on the combine (magnitude
+    <= (|p|+|q|)^2).  Direct form's own error is <= ~3 eps * d2 —
+    relative, absorbed below.  Total <= 8 eps (|p|+|q|)^2
+    <= 16 eps (max|p|^2 + max|q|^2).  The cancellation problem in one
+    number: at 30 m scene scale this is ~2e-3 m^2 ABSOLUTE, vs
+    sub-decimeter neighbor d2 of ~1e-2 m^2 (BENCHLOG r2 'documented
+    cancellation band')."""
+    np2 = jnp.max(jnp.sum(jnp.square(points.astype(jnp.float32)), -1), 1)
+    nq2 = jnp.max(jnp.sum(jnp.square(query.astype(jnp.float32)), -1), 1)
+    return jnp.float32(16.0 * _F32_EPS) * (np2 + nq2)         # (B,)
+
+
+def _mxu_certified_core(k: int, query: Array, points: Array, extra: int,
+                        interpret: bool = False):
+    """Expanded-form (MXU-fill) k+extra selection, direct-form
+    re-resolution, and the exactness certificate.
+
+    Returns (dist (B,N,k), idx (B,N,k), cert_ok (B,N) bool).  Where
+    cert_ok is True the (dist, idx) rows PROVABLY equal the direct-form
+    exact kernel's output (reference order: ascending d2, ties to the
+    lower index, interpolate_gpu.cu:30-46) up to the repo-wide 1-ulp
+    FMA-contraction contract on d2 recomputation.  Where False, an
+    unexamined candidate could lie inside the error band and the caller
+    must fall back."""
+    B, N, _ = query.shape
+    M = points.shape[1]
+    ke = min(M, k + extra)
+    dist_e, idx_e = knn_exact(ke, query, points, interpret=interpret,
+                              d2_mode="mxu")
+    p32 = points.astype(jnp.float32)
+    q32 = query.astype(jnp.float32)
+    # Direct-form d2 of the examined candidates (reference arithmetic;
+    # XLA FMA contraction may differ by <= 1 ulp — the same contract the
+    # FPS kernel documents).
+    cand = jnp.take_along_axis(
+        p32, idx_e.reshape(B, N * ke, 1), axis=1, mode="clip",
+    ).reshape(B, N, ke, 3)
+    d = cand - q32[:, :, None, :]
+    d2d = (d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]) \
+        + d[..., 2] * d[..., 2]                               # (B, N, ke)
+    d2_sorted, idx_sorted = jax.lax.sort(
+        (d2d, idx_e), dimension=-1, num_keys=2)
+    d2_top = d2_sorted[..., :k]
+    idx_top = idx_sorted[..., :k]
+    if ke == M:
+        cert_ok = jnp.ones((B, N), bool)      # every candidate examined
+    else:
+        band = _expanded_band(query, points)[:, None]         # (B, 1)
+        # Any unexamined candidate has d2e >= the ke-th selected d2e;
+        # its true (direct) d2 >= that - band.  The kernel emits
+        # sqrt(d2e); squaring back loses <= ~2 ulp relative.
+        d2e_last = jnp.square(dist_e[..., ke - 1]) * (1.0 - 4 * _F32_EPS)
+        # Strict > also covers d2-tie index flips: unexamined d2 is then
+        # STRICTLY above the selected k-th, so no tie can occur.
+        cert_ok = (d2e_last - band) > d2_top[..., k - 1]
+    return jnp.sqrt(jnp.maximum(d2_top, 0.0)), idx_top, cert_ok
+
+
+def knn_exact_mxu_certified(
+    k: int, query: Array, points: Array, extra: int = 4,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """EXACT KNN with the distance fill on the MXU and a per-query
+    exactness certificate (VERDICT r4 #4: 'expanded-form d2 on the MXU,
+    knife-edge band re-resolved in direct form').
+
+    Structure: the exact kernel selects k+extra candidates by
+    EXPANDED-form d2 (cross term on the MXU, _fill_d2_scratch "mxu");
+    the k+extra survivors are re-resolved in the reference's direct
+    per-coordinate f32 form in XLA and the top-k re-selected under the
+    reference order.  A rigorous error band (_expanded_band) certifies
+    per query that no unexamined candidate can enter the true top-k;
+    the rare uncertified queries fall back to the bit-faithful
+    direct-form kernel for the whole call (lax.cond — the fallback
+    executes only when triggered).
+
+    Same contract as knn_exact.  Cost structure and the on-chip verdict:
+    tools/bench_exact_mxu_cert.py + BENCHLOG r5 closure.
+    """
+    dist, idx, cert_ok = _mxu_certified_core(
+        k, query, points, extra, interpret)
+
+    def fallback(_):
+        return knn_exact(k, query, points, interpret=interpret)
+
+    return jax.lax.cond(
+        jnp.all(cert_ok), lambda arg: arg, fallback, (dist, idx))
 
 
 def ball_query_exact(

@@ -386,3 +386,70 @@ def test_pruned_exact_knn_worst_case_single_tile():
     d_p, i_p = knn_exact_pruned(16, q, p, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_u))
+
+
+# ---------------------------------------------------------------------------
+# Certified-MXU exact KNN (VERDICT r4 #4 arm)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,m,k", [(300, 1500, 16), (128, 1024, 3),
+                                   (257, 2000, 8)])
+def test_mxu_certified_matches_exact_scene_scale(n, m, k):
+    """Public certified API == direct-form exact kernel at 30 m scene
+    scale (the cancellation-band regime the r2 uncertified arm failed
+    in).  Indices bit-equal; distances to 1-ulp FMA contract."""
+    from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_mxu_certified
+
+    rng = np.random.RandomState(21)
+    # Clustered + offset far from the origin: worst case for expanded d2.
+    ctr = 30 * rng.rand(2, 1, 3).astype(np.float32)
+    q = jnp.asarray(ctr + 2 * rng.rand(2, n, 3).astype(np.float32))
+    p = jnp.asarray(ctr + 2 * rng.rand(2, m, 3).astype(np.float32))
+    d_u, i_u = knn_exact(k, q, p, interpret=True)
+    d_c, i_c = knn_exact_mxu_certified(k, q, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_u))
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_u),
+                               rtol=2e-7, atol=0)
+
+
+def test_mxu_certified_core_flags_knife_edge():
+    """Adversarial near-tie shell: MANY candidates at (near-)identical
+    distance just outside the k+extra window must FAIL the certificate
+    (not silently return wrong neighbors) and the public API must then
+    fall back to bit-faithful results."""
+    from ogc_tpu.ops.pallas_knn import (
+        _mxu_certified_core, knn_exact, knn_exact_mxu_certified,
+    )
+
+    rng = np.random.RandomState(22)
+    n, m, k = 64, 1200, 8
+    q = 25.0 + rng.rand(1, n, 3).astype(np.float32)
+    # Shell: every candidate ~the same distance from every query cluster
+    # point -> d2 spread far below the expanded-form band at 25 m scale.
+    dirs = rng.randn(1, m, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    p = jnp.asarray(q[:, :1] + 0.5 * dirs)
+    _, _, cert_ok = _mxu_certified_core(k, jnp.asarray(q), p, extra=4,
+                                        interpret=True)
+    assert not bool(np.asarray(cert_ok).all()), \
+        "shell geometry must trip the certificate"
+    d_u, i_u = knn_exact(k, jnp.asarray(q), p, interpret=True)
+    d_c, i_c = knn_exact_mxu_certified(k, jnp.asarray(q), p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_u))
+    np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_u))
+
+
+def test_mxu_certified_full_window_small_m():
+    """k + extra >= M examines every candidate: certificate is trivially
+    true and results are exact with no band condition."""
+    from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_mxu_certified
+
+    rng = np.random.RandomState(23)
+    q = jnp.asarray(30 * rng.rand(1, 100, 3).astype(np.float32))
+    p = jnp.asarray(30 * rng.rand(1, 12, 3).astype(np.float32))
+    d_u, i_u = knn_exact(8, q, p, interpret=True)
+    d_c, i_c = knn_exact_mxu_certified(8, q, p, extra=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_u))
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_u),
+                               rtol=2e-7, atol=0)
