@@ -95,6 +95,13 @@ _PALLAS_EXACT_PRUNE_ENV = os.environ.get("OGC_PALLAS_EXACT_PRUNE", "on")
 _PRUNE_MIN_M = 4096
 _PRUNE_MIN_N = 1024
 
+# Certified-MXU exact KNN (VERDICT r4 #4 arm): "mxu_cert" routes exact
+# dispatch through pallas_knn.knn_exact_mxu_certified (expanded-form d2
+# on the MXU, k+extra direct-form re-resolution, per-query exactness
+# certificate with bit-faithful fallback).  Opt-in for end-to-end parity
+# A/Bs (tools/bench_exact_mxu_cert.py drives the decision); default off.
+_PALLAS_EXACT_D2_ENV = os.environ.get("OGC_PALLAS_EXACT_D2", "vpu")
+
 
 def set_exact_neighbors(exact: bool) -> None:
     """Globally toggle exact neighbor search (default False = approximate)."""
@@ -571,8 +578,12 @@ def _knn_jit(
         # reference CUDA's direct per-coordinate form, so in-band tie
         # order is MORE reference-faithful than square_distance's MXU
         # expansion.  OGC_PALLAS_KNN_EXACT=off restores the XLA path.
-        from ogc_tpu.ops.pallas_knn import knn_exact, knn_exact_pruned
+        from ogc_tpu.ops.pallas_knn import (
+            knn_exact, knn_exact_mxu_certified, knn_exact_pruned,
+        )
 
+        if _PALLAS_EXACT_D2_ENV == "mxu_cert" and M > k + 4:
+            return knn_exact_mxu_certified(k, query, points)
         if (
             _PALLAS_EXACT_PRUNE_ENV == "knn"  # opt-in pending the r4
             # (cb, qt) sweep: first on-chip A/B measured 0.69-1.01x for
