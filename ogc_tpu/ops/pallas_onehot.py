@@ -516,9 +516,13 @@ def onehot_path_applicable(n_src: int, n_rows: int, c: int) -> bool:
 
     from ogc_tpu.ops.core import pallas_available
 
-    # Default "off" until the on-chip A/B (tools/bench_group_onehot.py)
-    # pins the crossover; "auto" enables the calibrated gate below,
-    # "all" any VMEM-feasible shape (sweeps).
+    # "auto" enables the calibrated gate below, "all" any VMEM-feasible
+    # shape (sweeps).  Gate calibrated by the CORRECTED fwd+bwd A/B
+    # (tools/bench_group_onehot.py, r5 rerun with the nonlinear value —
+    # the first-run fwd+bwd arms were loop-hoisted and discarded):
+    # N512/C10 fwd 1.14x fb 1.81x; N1024/C16 fb 1.56x; N2048/C10 fb
+    # 1.01x (wash); N2048/C64 0.56x, N512/C131 0.92x fwd (washes/losses)
+    # -> win region is small sources AND narrow channels.
     mode = os.environ.get("OGC_GROUP_ONEHOT", "off")
     if mode == "off" or not pallas_available():
         return False
@@ -531,4 +535,4 @@ def onehot_path_applicable(n_src: int, n_rows: int, c: int) -> bool:
     )
     if mode == "all":
         return feasible
-    return feasible and n_pad <= 2048
+    return feasible and n_pad <= 1024 and c <= 16

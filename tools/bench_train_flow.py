@@ -116,7 +116,11 @@ def main():
     cli = ap.parse_args()
 
     def want(name):
-        return cli.arms is not None and cli.arms in name
+        # Comma-separated substring filters; "decomp" alone matches the
+        # whole decomposition set, "decomp_onehot" just that arm.
+        if cli.arms is None:
+            return False
+        return any(a in name for a in cli.arms.split(","))
 
     results = []
     if cli.arms is None or want("sapien_ref_protocol"):
@@ -126,26 +130,32 @@ def main():
     # ---- r5 decomposition arms (VERDICT r4 #5: the 61.4 ms step was a
     # single unexplained number).  Each isolates one axis of the sapien
     # protocol; run with --arms decomp for the set.
-    if want("decomp"):
-        # Recurrence depth: iters=1 vs the protocol's 4 — splits the
-        # prefix (encoders + global corr + flow0) from the GRU body.
+    # Recurrence depth: iters=1 vs the protocol's 4 — splits the
+    # prefix (encoders + global corr + flow0) from the GRU body.
+    if want("decomp_iters"):
         results.append(
             bench_one("decomp_iters1", 512, 32, 1, "sapien", 8, 0.1,
                       (0.5,)))
         results.append(
             bench_one("decomp_iters2", 512, 32, 2, "sapien", 8, 0.1,
                       (0.5, 0.3)))
-        # Batch scaling: latency/launch-bound steps scale sub-linearly in
-        # B; a compute-bound step doubles.
+    # Batch scaling: latency/launch-bound steps scale sub-linearly in
+    # B; a compute-bound step doubles.
+    if want("decomp_B64"):
         results.append(
             bench_one("decomp_B64", 512, 64, 4, "sapien", 8, 0.1,
                       (0.5, 0.3, 0.3, 0.3)))
+    if want("decomp_B128"):
+        # NOTE: died twice on the remote compile helper (r5: HTTP 500 +
+        # a 192 MB-temps allocation dump) — run only when explicitly
+        # named; B-scaling is already established sub-linear by B64.
         results.append(
             bench_one("decomp_B128", 512, 128, 4, "sapien", 8, 0.1,
                       (0.5, 0.3, 0.3, 0.3)))
-        # One-hot grouping for the 512-pt gathers (ops/pallas_onehot.py;
-        # standalone A/B: 1.16x fwd at N=512).
-        os.environ["OGC_GROUP_ONEHOT"] = "all"
+    # One-hot grouping for the 512-pt gathers (ops/pallas_onehot.py;
+    # corrected standalone A/B r5: fwd 1.14x, fwd+bwd 1.81x at N=512).
+    if want("decomp_onehot"):
+        os.environ["OGC_GROUP_ONEHOT"] = "auto"
         try:
             results.append(
                 bench_one("decomp_onehot_groups", 512, 32, 4, "sapien",
