@@ -163,7 +163,8 @@ def main():
     # silently dividing the measurement by REPS.
     def ablated_step(weights, symmetric=False, monitors=True,
                      graph="reference", remat="off", smooth_exact=None,
-                     edge_engine="gather", scat_kernel=False):
+                     edge_engine="gather", scat_kernel=False,
+                     ref_bwd="autodiff"):
         cfg = OGCLossConfig(
             weights=weights, start_steps=(0, 0, 0),
             smooth_w_knn=loss_cfg.smooth_w_knn,
@@ -173,7 +174,7 @@ def main():
             symmetric_smooth_grad=symmetric,
             monitor_terms=monitors, smooth_graph=graph,
             smooth_exact=smooth_exact, smooth_edge_engine=edge_engine,
-            smooth_scatter_kernel=scat_kernel,
+            smooth_scatter_kernel=scat_kernel, smooth_ref_bwd=ref_bwd,
         )
         tr = SegTrainer(
             model=model, params=params, loss_cfg=cfg, optimizer=optimizer,
@@ -198,7 +199,17 @@ def main():
         # kernel wins on isolated (10.6-16.4 vs 18-25 ns/row).
         ("full, reference graph + smooth-only VMEM scatter kernel",
          (10.0, 0.1, 0.1), False, True, "reference", "off", None,
-         "gather", True),
+         "gather", True, "autodiff"),
+        # r5 EXACT differentiation-structure arms against the ~150 ms gap
+        # symgrad exposed (symgrad's whole smooth fwd+bwd ~135 ms < the
+        # autodiff path's 214 ms fwd): identical gradients, different
+        # residual/fusion structure.
+        ("full, reference + smooth_ref_bwd=lean (custom VJP, exact)",
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None,
+         "gather", False, "lean"),
+        ("full, reference + smooth_ref_bwd=remat (term checkpoint, exact)",
+         (10.0, 0.1, 0.1), False, True, "reference", "off", None,
+         "gather", False, "remat"),
     ]
     for name, w, sym, mon, graph, remat, sm_exact, engine in [
         ("model fwd+bwd + monitors + Adam", (0.0, 0.0, 0.0), False, True,
@@ -260,11 +271,12 @@ def main():
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)
-    for name, w, sym, mon, graph, remat, sm_exact, engine, sk in extra_arms:
+    for (name, w, sym, mon, graph, remat, sm_exact, engine, sk,
+         rbwd) in extra_arms:
         if cli.arms is not None and cli.arms not in name:
             continue
         t, _ = timed_scan(ablated_step(w, sym, mon, graph, remat,
-                                       sm_exact, engine, sk))(
+                                       sm_exact, engine, sk, rbwd))(
             trainer.params, trainer.opt_state, pcs, flows
         )
         print(f"# {name}: {t*1e3:.1f} ms/batch", file=sys.stderr)

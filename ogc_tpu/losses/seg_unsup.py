@@ -157,6 +157,60 @@ def _sym_grad_bwd(loss_norm, res, g):
 _sym_grad_discrepancy.defvjp(_sym_grad_fwd, _sym_grad_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _ref_graph_discrepancy(mask: Array, idx: Array, loss_norm: int,
+                           scatter_kernel: bool) -> Array:
+    """Reference-graph neighbor discrepancy with a LEAN-residual exact
+    VJP (r5 arm against the 'duplicated fwd' cost the r5 arm table
+    attributes to the autodiff path: smooth fwd+bwd 285 ms under
+    jax.grad vs symgrad's 135 ms, of which only ~71 ms is the backward
+    increment — the rest is residual/fusion structure).
+
+    Forward is bit-identical to the default tail (ops.group +
+    _neighbor_discrepancy without cross-entropy).  Backward saves ONLY
+    (mask, idx), recomputes the gather, and emits the exact gradient
+        grad = g/(B*N*S) * (sum_s phi'(diff) - scatter_add(phi'(diff)))
+    — the same math autodiff produces (scatter reuses ops.group's own
+    VJP, including the opt-in Pallas kernel), but with no stored
+    (B, N, S, K) residuals crossing the fwd/bwd boundary.  Semantics:
+    reference losses/seg_loss_unsup.py:101-158; the L1 subgradient at
+    exactly-zero diffs uses sign(0)=0 like every custom VJP here
+    (self-edges cancel between the direct and transpose terms either
+    way), and loss_norm=2 uses the same 1e-24 guard as
+    _mutual_discrepancy — plain autodiff NaNs on self-edges there
+    (norm'(0)); no shipped config uses L2 smooth terms."""
+    nn_mask = ops.group(mask, jax.lax.stop_gradient(idx),
+                        scatter_kernel_bwd=scatter_kernel)
+    return _neighbor_discrepancy(mask, nn_mask, False, loss_norm)
+
+
+def _ref_graph_fwd(mask, idx, loss_norm, scatter_kernel):
+    return (_ref_graph_discrepancy(mask, idx, loss_norm, scatter_kernel),
+            (mask, idx))
+
+
+def _ref_graph_bwd(loss_norm, scatter_kernel, res, g):
+    mask, idx = res
+    idx = jax.lax.stop_gradient(idx)
+    nn_mask, pull = jax.vjp(
+        lambda m: ops.group(m, idx, scatter_kernel_bwd=scatter_kernel),
+        mask)
+    diff = mask[:, :, None, :] - nn_mask
+    if loss_norm == 1:
+        d = jnp.sign(diff)
+    else:
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                                    1e-24))
+        d = diff / norm
+    B, N, S, _ = diff.shape
+    scale = g / (B * N * S)
+    grad = scale * (jnp.sum(d, axis=2) - pull(d)[0])
+    return grad.astype(mask.dtype), None
+
+
+_ref_graph_discrepancy.defvjp(_ref_graph_fwd, _ref_graph_bwd)
+
+
 def mutual_keep_mask(idx: Array) -> Array:
     """Symmetrize a neighbor table into an EXACTLY symmetric edge multiset.
 
@@ -541,6 +595,7 @@ def knn_smooth_loss(
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
     exact: Optional[bool] = None, scatter_kernel_bwd: bool = False,
+    ref_bwd: str = "autodiff",
 ) -> Array:
     """KNN smoothness with radius clamp (reference KnnLoss,
     losses/seg_loss_unsup.py:101-129).
@@ -575,6 +630,15 @@ def knn_smooth_loss(
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
+    if ref_bwd == "lean" and not cross_entropy:
+        return _ref_graph_discrepancy(mask, idx, loss_norm,
+                                      scatter_kernel_bwd)
+    if ref_bwd == "remat" and not cross_entropy:
+        term = jax.checkpoint(
+            lambda m: _neighbor_discrepancy(
+                m, ops.group(m, idx, scatter_kernel_bwd=scatter_kernel_bwd),
+                False, loss_norm))
+        return term(mask)
     nn_mask = ops.group(mask, idx, scatter_kernel_bwd=scatter_kernel_bwd)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
@@ -584,6 +648,7 @@ def ball_q_smooth_loss(
     cross_entropy: bool = False, loss_norm: int = 1,
     symmetric_grad: bool = False, graph: str = "reference",
     exact: Optional[bool] = None, scatter_kernel_bwd: bool = False,
+    ref_bwd: str = "autodiff",
 ) -> Array:
     """Ball-query smoothness (reference BallQLoss,
     losses/seg_loss_unsup.py:132-158).  graph="mutual" / `exact` as in
@@ -606,6 +671,15 @@ def ball_q_smooth_loss(
         return _mutual_discrepancy(mask, idx, keep, loss_norm)
     if symmetric_grad and not cross_entropy:
         return _sym_grad_discrepancy(mask, idx, loss_norm)
+    if ref_bwd == "lean" and not cross_entropy:
+        return _ref_graph_discrepancy(mask, idx, loss_norm,
+                                      scatter_kernel_bwd)
+    if ref_bwd == "remat" and not cross_entropy:
+        term = jax.checkpoint(
+            lambda m: _neighbor_discrepancy(
+                m, ops.group(m, idx, scatter_kernel_bwd=scatter_kernel_bwd),
+                False, loss_norm))
+        return term(mask)
     nn_mask = ops.group(mask, idx, scatter_kernel_bwd=scatter_kernel_bwd)
     return _neighbor_discrepancy(mask, nn_mask, cross_entropy, loss_norm)
 
@@ -773,6 +847,18 @@ class OGCLossConfig:
     # Fast-mode opt-in: the sorted order changes approx tie/fill edge
     # picks (deviation class of PARITY.md deviation 1).
     smooth_edge_engine: str = "gather"
+    # Reference-graph smooth-term differentiation structure (r5).
+    # "autodiff" = plain jax.grad through group+norm (the historical
+    # default); "lean" = _ref_graph_discrepancy's custom VJP — same
+    # exact gradient, but only (mask, idx) residuals cross the fwd/bwd
+    # boundary and the backward recomputes the gather; "remat" =
+    # jax.checkpoint around the term (identical gradient, XLA re-fuses
+    # the fwd into the bwd).  Both attack the ~150 ms/step structural
+    # gap the r5 arm table exposed (symgrad's fwd+bwd costs LESS than
+    # the autodiff fwd alone); A/B arms in bench_train.py pick the
+    # default.  Applies when smooth_graph == "reference", no CE, no
+    # symmetric_smooth_grad.
+    smooth_ref_bwd: str = "autodiff"
     # Route the reference-graph smooth backward through the Pallas VMEM
     # scatter-add kernel (ops/pallas_scatter.py) instead of XLA's
     # scatter.  The r4 closure measured BLANKET routing (model gathers
@@ -820,6 +906,7 @@ class OGCLossConfig:
             # backward (see _sym_grad_discrepancy) and monitor-term skipping.
             symmetric_smooth_grad=s.get("symmetric_grad", False),
             smooth_graph=graph,
+            smooth_ref_bwd=s.get("ref_bwd", "autodiff"),
             smooth_edge_engine=s.get("edge_engine", "gather"),
             smooth_scatter_kernel=s.get("scatter_kernel", False),
             monitor_terms=loss_cfg.get("monitor_terms", True),
@@ -841,12 +928,14 @@ def smooth_loss(pc: Array, mask: Array, cfg: OGCLossConfig) -> Array:
         cfg.knn_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
         exact=cfg.smooth_exact,
         scatter_kernel_bwd=cfg.smooth_scatter_kernel,
+        ref_bwd=cfg.smooth_ref_bwd,
     )
     l_bq = ball_q_smooth_loss(
         pc, mask, cfg.ball_q_k, cfg.ball_q_radius, cfg.cross_entropy,
         cfg.ball_q_loss_norm, cfg.symmetric_smooth_grad, cfg.smooth_graph,
         exact=cfg.smooth_exact,
         scatter_kernel_bwd=cfg.smooth_scatter_kernel,
+        ref_bwd=cfg.smooth_ref_bwd,
     )
     return cfg.smooth_w_knn * l_knn + cfg.smooth_w_ball_q * l_bq
 

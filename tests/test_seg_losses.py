@@ -536,3 +536,69 @@ def test_smooth_mxu_engine_routing_gates():
                               smooth_edge_engine="mxu", **kw)
         v = float(L.smooth_loss(pc, mask, cfg))
         assert np.isfinite(v)
+
+
+def test_ref_graph_lean_vjp_is_exact():
+    """The lean-residual custom VJP of _ref_graph_discrepancy (r5
+    differentiation-structure arm) must equal plain autodiff of the
+    default reference-graph tail — same value bitwise, same gradient;
+    and the remat routing must equal it too (jax.checkpoint changes no
+    math)."""
+    from ogc_tpu import ops as _ops
+    from ogc_tpu.losses.seg_unsup import (
+        _neighbor_discrepancy,
+        _ref_graph_discrepancy,
+        ball_q_smooth_loss,
+        knn_smooth_loss,
+    )
+
+    rng = np.random.RandomState(5)
+    B, N, K = 2, 80, 7
+    pc = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    mask = jax.nn.softmax(jnp.asarray(rng.randn(B, N, K).astype(np.float32)),
+                          -1)
+
+    for maker, norm in (
+        (lambda: _ops.knn(5, pc, pc, exact=True)[1], 1),
+        (lambda: _ops.ball_query(0.3, 8, pc, pc, exact=True), 1),
+        (lambda: _ops.knn(5, pc, pc, exact=True)[1], 2),
+    ):
+        idx = jax.lax.stop_gradient(maker())
+
+        def plain(m):
+            return _neighbor_discrepancy(m, _ops.group(m, idx), False, norm)
+
+        def guarded(m):
+            # L2 gradient oracle: plain autodiff NaNs on self-edges
+            # (norm'(0)); the custom VJPs use the 1e-24-guarded form
+            # (same convention as _mutual_discrepancy).
+            nn = _ops.group(m, idx)
+            diff = m[:, :, None, :] - nn
+            per = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1), 1e-24))
+            return jnp.mean(per)
+
+        def lean(m):
+            return _ref_graph_discrepancy(m, idx, norm, False)
+
+        assert float(plain(mask)) == float(lean(mask))  # identical fwd ops
+        g_plain = np.asarray(jax.grad(plain if norm == 1 else guarded)(mask))
+        g_lean = np.asarray(jax.grad(lean)(mask))
+        np.testing.assert_allclose(g_lean, g_plain, rtol=1e-5, atol=1e-7)
+
+    # Routing: knn/ball smooth losses honor ref_bwd and agree with the
+    # autodiff default (value AND gradient).
+    for fn, kw in (
+        (knn_smooth_loss, dict(k=5, radius=0.3)),
+        (ball_q_smooth_loss, dict(k=8, radius=0.3)),
+    ):
+        base_v = fn(pc, mask, kw["k"], kw["radius"], exact=True)
+        base_g = np.asarray(jax.grad(
+            lambda m: fn(pc, m, kw["k"], kw["radius"], exact=True))(mask))
+        for mode in ("lean", "remat"):
+            v = fn(pc, mask, kw["k"], kw["radius"], exact=True,
+                   ref_bwd=mode)
+            g = np.asarray(jax.grad(
+                lambda m: fn(pc, m, kw["k"], kw["radius"], exact=True,
+                             ref_bwd=mode))(mask))
+            np.testing.assert_allclose(float(v), float(base_v), rtol=1e-6)
+            np.testing.assert_allclose(g, base_g, rtol=1e-5, atol=1e-7)

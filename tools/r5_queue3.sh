@@ -17,6 +17,16 @@ stop; timeout 2400 python tools/bench_train_flow.py --arms decomp_onehot,sapien_
 # 2. Certified-MXU exact KNN A/B (VERDICT r4 #4).
 stop; timeout 2400 python tools/bench_exact_mxu_cert.py > $R/mxu_cert.log 2>&1
 
+# 2a. Differentiation-structure arms (exact gradients): lean custom VJP
+#     and term-scoped remat vs the autodiff default + symgrad yardstick.
+stop; timeout 3600 python bench_train.py --arms "smooth_ref_bwd" > $R/refbwd_arms.log 2>&1
+stop; timeout 2400 python bench_train.py --arms "reference graph (default" > $R/refbwd_base.log 2>&1
+
+# 2b. bench.py validation: the flow_train emission (VERDICT r4 #6) has
+#     never executed end-to-end; the driver's round-end run must not be
+#     its first execution.
+stop; timeout 3600 python bench.py > $R/bench_probe.log 2>&1
+
 # 3. Reference-length SAPIEN protocol (VERDICT r4 #2), paired arms,
 #    seed-major; members are idempotent (skip when summary.json exists —
 #    queue v2 may have completed s0 parity before its wind-down).
