@@ -79,6 +79,11 @@ def build_cfg(args, root, save_root, woinv: bool) -> dict:
             "dynamic_loss_params": {"loss_norm": 2},
             "smooth_loss_params": {
                 "graph": args.graph,
+                # Pinned so paired arms stay comparable even if the
+                # repo-wide smooth_ref_bwd default flips mid-queue
+                # (lean/remat are exact — same math — but pinning keeps
+                # every seed bit-comparable to the runs already done).
+                "ref_bwd": "autodiff",
                 "w_knn": 3.0, "w_ball_q": 1.0,
                 "knn_loss_params": {"k": 8, "radius": 0.1, "loss_norm": 1},
                 "ball_q_loss_params": {"k": 16, "radius": 0.2,
