@@ -523,7 +523,12 @@ def onehot_path_applicable(n_src: int, n_rows: int, c: int) -> bool:
     # N512/C10 fwd 1.14x fb 1.81x; N1024/C16 fb 1.56x; N2048/C10 fb
     # 1.01x (wash); N2048/C64 0.56x, N512/C131 0.92x fwd (washes/losses)
     # -> win region is small sources AND narrow channels.
-    mode = os.environ.get("OGC_GROUP_ONEHOT", "off")
+    # DEFAULT "auto" since r5 session 2: the step-level flow-train arm
+    # measured 60.7 -> 53.4 ms/batch (1.14x, 527 -> 599 scenes/s) with
+    # the calibrated gate; the kernels are exact (tests pin gather
+    # equality and deterministic scatter).  OGC_GROUP_ONEHOT=off
+    # restores the XLA row gather/scatter everywhere.
+    mode = os.environ.get("OGC_GROUP_ONEHOT", "auto")
     if mode == "off" or not pallas_available():
         return False
     n_pad = _pad_to(n_src, 128)

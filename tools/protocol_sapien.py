@@ -182,6 +182,10 @@ def main():
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = "/root/.jax_cache"
     env["OGC_WRITER"] = "jsonl"
+    # Pin the r5-session-1 grouping path: the one-hot default flipped to
+    # "auto" mid-queue; its scatter-order reassociation is Adam-wobble
+    # class, but pinning keeps every paired seed strictly comparable.
+    env["OGC_GROUP_ONEHOT"] = "off"
 
     def run(*cmd, extra_env=None):
         e = dict(env)
