@@ -203,6 +203,13 @@ if __name__ == "__main__":
             weights=(10.0, 0.1, 0.1), start_steps=(0, 0, 0),
             smooth_w_knn=3.0, smooth_w_ball_q=1.0,
             knn_k=32, knn_radius=1.0, ball_q_k=64, ball_q_radius=2.0,
+            # The train arm measures the SHIPPING fast-train mode
+            # (bf16 + approx neighbors, like the rest of this bench);
+            # since r5 that mode also carries the symmetric-graph
+            # smooth gradient (kittisf_unsup_fast.yaml, sg12+sg24
+            # 10-seed accuracy gate in PARITY.md).  bench_train.py's
+            # arm table carries the autodiff-exact-gradient figure.
+            symmetric_smooth_grad=True,
         )
         segnet_t = MaskFormer3D(
             n_slot=10, n_point=N_POINTS, arch="kitti",
